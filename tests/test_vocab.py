@@ -1,0 +1,39 @@
+"""Vocabulary parity tests (ref behavior: src/asr/types.rs:76-155)."""
+
+from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+
+def test_load_and_len(vocab_path):
+    v = Vocabulary.load(vocab_path)
+    assert len(v) == 15
+    assert v.get_token(5) == "▁the"
+    assert v.get_id("▁the") == 5
+
+
+def test_decode_bpe_joining(vocab_path):
+    v = Vocabulary.load(vocab_path)
+    # "▁the" + "re" -> "there"; leading space trimmed
+    assert v.decode_tokens([5, 6]) == "there"
+    # "▁th" "at" "▁i" "nd" -> "that ind"
+    assert v.decode_tokens([2, 10, 14, 13]) == "that ind"
+
+
+def test_decode_skips_unknown_ids(vocab_path):
+    v = Vocabulary.load(vocab_path)
+    assert v.decode_tokens([5, 9999, 6]) == "there"
+
+
+def test_decode_empty():
+    v = Vocabulary.from_map({})
+    assert v.decode_tokens([1, 2, 3]) == ""
+    assert not v
+
+
+def test_load_skips_malformed_lines(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("good 1\nbadline\nalso bad x\nmulti word token 7\n")
+    v = Vocabulary.load(str(p))
+    assert v.get_token(1) == "good"
+    # token may contain spaces; id is the last field (ref parser behavior)
+    assert v.get_token(7) == "multi word token"
+    assert len(v) == 2
