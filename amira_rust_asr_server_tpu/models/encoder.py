@@ -1,0 +1,188 @@
+"""FastConformer-style speech encoder in flax.
+
+Contract parity (ref: model-repo/encoder/config.pbtxt and
+src/triton/model.rs:291-375): ``audio_signal [B, n_mels, T] + length [B]
+-> outputs [B, d_enc, T'] + encoded_lengths [B]``.
+
+TPU-first choices (vs a faithful port of a NeMo/ONNX conformer):
+- 8x time subsampling via stride-2 separable convs — fewer frames means
+  fewer autoregressive decode steps downstream, the dominant serving cost.
+- Rotary position embeddings instead of Transformer-XL relative attention:
+  same quality class, no [T, T] relative-bias gather, better XLA fusion.
+- GroupNorm(1) in the conv module instead of BatchNorm: batch-size
+  invariant, streaming-safe (no running stats across padded lanes).
+- Optional limited attention context (att_context) producing a banded mask,
+  the hook for the chunked-streaming encoder cache.
+
+All ops are static-shaped; padding is handled by masks derived from
+``lengths`` so one compiled program serves a whole length bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .presets import ModelConfig
+
+
+def _rope(x: jax.Array) -> jax.Array:
+    """Rotary position embedding over the last dim. x: [B, H, T, Dh]."""
+    dh = x.shape[-1]
+    half = dh // 2
+    t = x.shape[-2]
+    freqs = 1.0 / (10000.0 ** (np.arange(0, half) / half))
+    angles = jnp.arange(t)[:, None] * jnp.asarray(freqs)[None, :]  # [T, half]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class MHSA(nn.Module):
+    """Multi-head self-attention with RoPE and padding/band masks."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        b, t, d = x.shape
+        h = cfg.n_heads
+        dh = d // h
+
+        qkv = nn.Dense(3 * d, use_bias=True, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        q, k = _rope(q), _rope(k)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(dh, scores.dtype))
+
+        mask = pad_mask[:, None, None, :]  # [B, 1, 1, T] keys
+        left, right = cfg.att_context
+        if left >= 0 or right >= 0:
+            qi = jnp.arange(t)[:, None]
+            ki = jnp.arange(t)[None, :]
+            band = jnp.ones((t, t), bool)
+            if left >= 0:
+                band &= (qi - ki) <= left
+            if right >= 0:
+                band &= (ki - qi) <= right
+            mask = mask & band[None, None, :, :]
+
+        scores = jnp.where(mask, scores, jnp.asarray(-1e9, scores.dtype))
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name="out")(out)
+
+
+class ConvModule(nn.Module):
+    """Conformer conv module: pointwise-GLU > depthwise > norm > pointwise."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        d = x.shape[-1]
+        x = nn.Dense(2 * d, name="pw1")(x)
+        x = nn.glu(x, axis=-1)
+        # zero padded positions so the depthwise conv doesn't smear them in
+        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        x = nn.Conv(features=d, kernel_size=(cfg.conv_kernel,),
+                    feature_group_count=d, padding="SAME", name="dw")(x)
+        # per-frame LayerNorm, not BatchNorm/GroupNorm: no running stats, no
+        # reduction over the (padded) time axis -> batch-padding invariant
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.silu(x)
+        return nn.Dense(d, name="pw2")(x)
+
+
+class FeedForward(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        d = x.shape[-1]
+        x = nn.Dense(cfg.ff_expansion * d, name="w1")(x)
+        x = nn.silu(x)
+        return nn.Dense(d, name="w2")(x)
+
+
+class ConformerBlock(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+        x = x + 0.5 * FeedForward(self.config, name="ff1")(
+            nn.LayerNorm(name="ln_ff1")(x))
+        x = x + MHSA(self.config, name="mhsa")(
+            nn.LayerNorm(name="ln_mhsa")(x), pad_mask)
+        x = x + ConvModule(self.config, name="conv")(
+            nn.LayerNorm(name="ln_conv")(x), pad_mask)
+        x = x + 0.5 * FeedForward(self.config, name="ff2")(
+            nn.LayerNorm(name="ln_ff2")(x))
+        return nn.LayerNorm(name="ln_out")(x)
+
+
+class Subsampler(nn.Module):
+    """Stride-2 separable-conv stack: [B, T, n_mels] -> [B, T/k, d_model]."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        cfg = self.config
+        n_stages = int(np.log2(cfg.subsampling_factor))
+        ch = cfg.subsampling_dim
+        lens = lengths
+        for i in range(n_stages):
+            x = nn.Conv(features=ch, kernel_size=(5,), strides=(2,),
+                        padding="SAME", name=f"conv{i}")(x)
+            x = nn.silu(x)
+            # re-mask each stage: conv bias + silu otherwise turn padding
+            # into nonzero values that the next stage's windows read
+            lens = (lens + 1) // 2
+            mask = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+            x = jnp.where(mask[:, :, None], x, 0.0)
+        return nn.Dense(cfg.d_model, name="proj")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """[B, n_mels, T] + lengths -> [B, T', d_enc] + encoded lengths."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, features: jax.Array, lengths: jax.Array,
+                 ) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        x = jnp.transpose(features, (0, 2, 1))  # [B, T, n_mels]
+        x = Subsampler(cfg, name="subsampler")(x, lengths)
+        t_sub = x.shape[1]
+        # ceil-div lengths through the stride-2 stack ("SAME" padding)
+        enc_lens = lengths
+        for _ in range(int(np.log2(cfg.subsampling_factor))):
+            enc_lens = (enc_lens + 1) // 2
+        enc_lens = enc_lens.astype(jnp.int32)
+
+        pad_mask = jnp.arange(t_sub)[None, :] < enc_lens[:, None]
+        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+
+        for i in range(cfg.n_layers):
+            x = ConformerBlock(cfg, name=f"block{i}")(x, pad_mask)
+
+        x = nn.Dense(cfg.d_enc, name="out_proj")(x)
+        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        return x, enc_lens

@@ -1,0 +1,70 @@
+"""Model configuration presets.
+
+The flagship ("large") preset realizes the reference's exact tensor
+contract (ref: model-repo/*/config.pbtxt): 128 mels in, 1024-d encoder
+output, 2-layer 640-d LSTM prediction net, 1030-way joint logits with
+blank=1024. Smaller presets keep the same topology for tests/CI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from ..constants import (BLANK_TOKEN_ID, DECODER_STATE_SIZE,
+                         ENCODER_OUTPUT_SIZE, N_MELS, VOCABULARY_SIZE)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # encoder
+    n_mels: int = N_MELS
+    d_model: int = 1024
+    n_layers: int = 17
+    n_heads: int = 8
+    ff_expansion: int = 4
+    conv_kernel: int = 9
+    subsampling_factor: int = 8  # must be a power of 2 (stride-2 stages)
+    subsampling_dim: int = 256
+    d_enc: int = ENCODER_OUTPUT_SIZE  # encoder output dim (contract: 1024)
+    dropout: float = 0.1
+    # limited attention context for streaming mode: (left, right) in frames,
+    # (-1, -1) = full context
+    att_context: Tuple[int, int] = (-1, -1)
+
+    # prediction network
+    d_pred: int = DECODER_STATE_SIZE  # LSTM hidden (contract: 640)
+    pred_layers: int = 2              # contract: states [2, B, 640]
+    d_embed: int = DECODER_STATE_SIZE
+
+    # joint
+    d_joint: int = 640
+    vocab_size: int = VOCABULARY_SIZE  # logit width (contract: 1030)
+    blank_id: int = BLANK_TOKEN_ID
+
+    def __post_init__(self):
+        assert self.subsampling_factor & (self.subsampling_factor - 1) == 0, \
+            "subsampling_factor must be a power of two"
+        assert self.d_model % self.n_heads == 0
+
+
+# Test-scale config: same topology, tiny dims, small vocab.
+TINY = ModelConfig(
+    n_mels=32, d_model=64, n_layers=2, n_heads=2, ff_expansion=2,
+    conv_kernel=5, subsampling_factor=4, subsampling_dim=32, d_enc=64,
+    d_pred=32, pred_layers=2, d_embed=32, d_joint=32,
+    vocab_size=16, blank_id=15)
+
+# Mid-size config for perf experiments.
+BASE = ModelConfig(d_model=512, n_layers=8, subsampling_dim=256, d_enc=1024)
+
+# Flagship: reference-contract dims (conformer-XL-class encoder).
+LARGE = ModelConfig()
+
+PRESETS = {"tiny": TINY, "base": BASE, "large": LARGE}
+
+
+def get_preset(name: str) -> ModelConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown model preset {name!r}; have {list(PRESETS)}")
+    return PRESETS[name]
