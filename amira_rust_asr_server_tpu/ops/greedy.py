@@ -95,13 +95,16 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
 
     def cond(carry):
         t, counts, *_ = carry
-        return jnp.any((t < enc_lens) & (counts - token_offset < max_total))
+        # `counts` includes token_offset: the max_total budget spans the
+        # whole decode session, not just this call (ref: MAX_TOTAL_TOKENS
+        # caps a session, constants.rs:136)
+        return jnp.any((t < enc_lens) & (counts < max_total))
 
     def body(carry):
         (t, counts, sym_in_frame, pred_out, state, last_token, tokens,
          frame_idx) = carry
 
-        active = (t < enc_lens) & (counts - token_offset < max_total)
+        active = (t < enc_lens) & (counts < max_total)
         t_safe = jnp.minimum(t, t_max - 1)
         enc_frame = jnp.take_along_axis(
             enc, t_safe[:, None, None], axis=1)[:, 0, :]      # [B, D]

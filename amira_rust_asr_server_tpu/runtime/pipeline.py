@@ -1,0 +1,247 @@
+"""The ASR pipeline: one resident XLA program from waveform to tokens.
+
+API parity with the reference's ``AsrPipeline`` trait
+(ref: src/asr/pipeline.rs:21-67 — process_batch / process_batch_samples /
+process_stream_chunk / process_stream_samples), but where the reference
+orchestrates three Triton gRPC calls plus a host decode loop
+(ref: pipeline.rs:269-379), here the whole chain
+
+    log-mel -> conformer encode -> label-looping greedy decode
+
+is a single jitted function per (batch, length) bucket. Requests are
+padded into static shape buckets (config.audio_sec_buckets x
+config.batch_buckets) so XLA compiles a handful of programs once and
+reuses them — the TPU-native replacement for the reference's
+connection pool + per-symbol round-trips.
+
+Streaming state (prediction-net h/c, last token, token budget) stays on
+device between chunks: :class:`StreamState` is the HBM-resident analogue of
+the reference's DecoderState (ref: src/asr/types.rs:157-181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..audio import pcm16_bytes_to_f32
+from ..config import Config
+from ..errors import InvalidAudioFormatError
+from ..models import Transducer
+from ..ops import log_mel_features
+from ..ops.greedy import GreedyResult, greedy_decode
+from ..types import Transcription
+from ..vocab import Vocabulary
+
+
+@dataclasses.dataclass
+class StreamState:
+    """Per-stream decode state, resident on device across chunks."""
+
+    state: Tuple[jax.Array, jax.Array]  # prediction-net (h, c) [L, 1, P]
+    pred_out: jax.Array                 # [1, P]
+    last_token: jax.Array               # [1] int32
+    tokens_emitted: int = 0             # counts toward MAX_TOTAL_TOKENS
+
+
+class AsrPipeline:
+    """Compiled end-to-end ASR over shape buckets."""
+
+    def __init__(self, model: Transducer, params, vocab: Vocabulary,
+                 config: Optional[Config] = None):
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.config = config or Config()
+        cfg = self.config
+        self._sec_buckets = sorted(cfg.audio_sec_buckets)
+        self._batch_buckets = sorted(cfg.batch_buckets)
+        self._lock = threading.Lock()  # jit cache population
+        self._fwd = jax.jit(
+            self._forward,
+            static_argnames=("max_symbols", "max_total"))
+
+    # ------------------------------------------------------------------
+    # jitted core
+    # ------------------------------------------------------------------
+    def _forward(self, params, audio, audio_lens, state, pred_out,
+                 last_token, token_offset, *, max_symbols, max_total):
+        mcfg = self.model.config
+        feats, feat_lens = log_mel_features(
+            audio, audio_lens, n_mels=mcfg.n_mels)
+        enc, enc_lens = self.model.encode(params, feats, feat_lens)
+        res = greedy_decode(
+            partial(self.model.predict_step, params),
+            partial(self.model.joint_step, params),
+            enc, enc_lens, state, mcfg.blank_id,
+            max_symbols=max_symbols, max_total=max_total,
+            init_pred_out=pred_out, init_last_token=last_token,
+            token_offset=token_offset)
+        return res, feat_lens, enc_lens
+
+    # ------------------------------------------------------------------
+    # bucketing helpers
+    # ------------------------------------------------------------------
+    def _bucket_len(self, n_samples: int) -> int:
+        for sec in self._sec_buckets:
+            cap = int(sec * C.SAMPLE_RATE)
+            if n_samples <= cap:
+                return cap
+        return int(self._sec_buckets[-1] * C.SAMPLE_RATE)
+
+    def _bucket_batch(self, b: int) -> int:
+        for cap in self._batch_buckets:
+            if b <= cap:
+                return cap
+        return self._batch_buckets[-1]
+
+    # ------------------------------------------------------------------
+    # batched raw decode (used by the continuous batcher and bench)
+    # ------------------------------------------------------------------
+    def decode_samples_batch(
+            self, samples: Sequence[np.ndarray],
+            stream_states: Optional[Sequence[Optional[StreamState]]] = None,
+    ) -> Tuple[GreedyResult, np.ndarray, np.ndarray, List[StreamState]]:
+        """Decode a batch of sample arrays (padded to shape buckets).
+
+        Returns (GreedyResult, feat_lens, enc_lens, new_stream_states);
+        result rows past len(samples) are padding lanes.
+        """
+        cfg = self.config
+        mcfg = self.model.config
+        b_real = len(samples)
+        if b_real == 0:
+            raise InvalidAudioFormatError("empty batch")
+        b = self._bucket_batch(b_real)
+        max_n = max(s.shape[0] for s in samples)
+        n = self._bucket_len(max_n)
+
+        audio = np.zeros((b, n), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(samples):
+            m = min(s.shape[0], n)
+            audio[i, :m] = s[:m]
+            lens[i] = m
+
+        # assemble carried state
+        dtype = jnp.float32
+        if stream_states is None:
+            stream_states = [None] * b_real
+        h0, c0 = self.model.init_state(b, dtype)
+        h0 = np.array(h0)  # writable host copies for per-lane assembly
+        c0 = np.array(c0)
+        pred_out = None
+        last_token = np.full((b,), mcfg.blank_id, np.int32)
+        token_offset = np.zeros((b,), np.int32)
+        have_carry = any(st is not None for st in stream_states)
+        if have_carry:
+            pred0 = np.zeros((b, mcfg.d_pred), np.float32)
+            # fresh lanes need pred_out = pred_step(blank, zeros); compute
+            # host-side once per call via the model step (cheap, jitted)
+            fresh_out, fresh_state = self.model.predict_step(
+                self.params, jnp.full((1,), mcfg.blank_id, jnp.int32),
+                self.model.init_state(1, dtype))
+            for i in range(b_real):
+                st = stream_states[i]
+                if st is None:
+                    pred0[i] = np.asarray(fresh_out)[0]
+                    h0[:, i] = np.asarray(fresh_state[0])[:, 0]
+                    c0[:, i] = np.asarray(fresh_state[1])[:, 0]
+                else:
+                    h0[:, i] = np.asarray(st.state[0])[:, 0]
+                    c0[:, i] = np.asarray(st.state[1])[:, 0]
+                    pred0[i] = np.asarray(st.pred_out)[0]
+                    last_token[i] = int(np.asarray(st.last_token)[0])
+                    token_offset[i] = st.tokens_emitted
+            for i in range(b_real, b):
+                pred0[i] = np.asarray(fresh_out)[0]
+                h0[:, i] = np.asarray(fresh_state[0])[:, 0]
+                c0[:, i] = np.asarray(fresh_state[1])[:, 0]
+            pred_out = jnp.asarray(pred0)
+
+        res, feat_lens, enc_lens = self._fwd(
+            self.params, jnp.asarray(audio), jnp.asarray(lens),
+            (jnp.asarray(h0), jnp.asarray(c0)), pred_out,
+            jnp.asarray(last_token), jnp.asarray(token_offset),
+            max_symbols=cfg.max_symbols_per_step,
+            max_total=cfg.max_total_tokens)
+
+        new_states: List[StreamState] = []
+        for i in range(b_real):
+            prior = stream_states[i]
+            emitted = (prior.tokens_emitted if prior else 0)
+            new_states.append(StreamState(
+                state=(res.state[0][:, i:i + 1], res.state[1][:, i:i + 1]),
+                pred_out=res.pred_out[i:i + 1],
+                last_token=res.last_token[i:i + 1],
+                tokens_emitted=emitted + int(res.counts[i])))
+        return res, np.asarray(feat_lens), np.asarray(enc_lens), new_states
+
+    # ------------------------------------------------------------------
+    # reference-parity surface (pipeline.rs:21-67)
+    # ------------------------------------------------------------------
+    def process_batch_samples(self, samples: np.ndarray) -> Transcription:
+        """Full decode of one utterance from f32 samples."""
+        res, feat_lens, enc_lens, _ = self.decode_samples_batch([samples])
+        return self._to_transcription(res, 0, samples.shape[0],
+                                      int(feat_lens[0]), int(enc_lens[0]))
+
+    def process_batch(self, audio_bytes: bytes) -> Transcription:
+        """Full decode of one utterance from 16-bit PCM bytes."""
+        return self.process_batch_samples(self._convert(audio_bytes))
+
+    def process_stream_samples(self, samples: np.ndarray,
+                               stream_state: Optional[StreamState]
+                               ) -> Tuple[Transcription, StreamState]:
+        """Decode a chunk carrying device-resident decoder state."""
+        res, feat_lens, enc_lens, states = self.decode_samples_batch(
+            [samples], [stream_state])
+        return (self._to_transcription(res, 0, samples.shape[0],
+                                       int(feat_lens[0]), int(enc_lens[0])),
+                states[0])
+
+    def process_stream_chunk(self, audio_bytes: bytes,
+                             stream_state: Optional[StreamState]
+                             ) -> Tuple[Transcription, StreamState]:
+        return self.process_stream_samples(self._convert(audio_bytes),
+                                           stream_state)
+
+    # ------------------------------------------------------------------
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
+               secs: Optional[Sequence[float]] = None) -> int:
+        """Pre-compile bucket programs (startup analogue of the reference's
+        connection prewarming, ref: src/main.rs:79-85). Returns #programs."""
+        n = 0
+        for b in (batch_sizes or self._batch_buckets[:1]):
+            for s in (secs or self._sec_buckets[:1]):
+                samples = [np.zeros(int(s * C.SAMPLE_RATE), np.float32)
+                           for _ in range(b)]
+                self.decode_samples_batch(samples)
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    def _convert(self, audio_bytes: bytes) -> np.ndarray:
+        if len(audio_bytes) == 0:
+            raise InvalidAudioFormatError("empty audio buffer")
+        if len(audio_bytes) % 2 != 0:
+            raise InvalidAudioFormatError(
+                "audio buffer length must be even for 16-bit PCM")
+        return pcm16_bytes_to_f32(audio_bytes)
+
+    def _to_transcription(self, res: GreedyResult, lane: int,
+                          n_samples: int, feat_len: int,
+                          enc_len: int) -> Transcription:
+        count = int(res.counts[lane])
+        tokens = [int(t) for t in np.asarray(res.tokens[lane, :count])]
+        return Transcription(
+            text=self.vocab.decode_tokens(tokens), tokens=tokens,
+            audio_length_samples=n_samples, features_length=feat_len,
+            encoded_length=enc_len)
