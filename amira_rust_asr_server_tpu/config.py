@@ -64,6 +64,8 @@ class Config:
         default_factory=lambda: [2.0, 4.0, 8.0, 16.0, 30.0])
     batch_window_ms: float = 5.0  # collector wait before dispatch
     max_lanes: int = 16  # streaming decode lanes resident per chip
+    warmup_on_start: bool = True  # precompile bucket programs at startup
+    cold_bucket_timeout_secs: float = 180.0  # allowance when XLA compiles
 
     # Mesh: axis name -> size; empty means single-device (no sharding).
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)

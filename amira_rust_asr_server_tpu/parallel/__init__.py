@@ -1,0 +1,17 @@
+"""Parallelism: device mesh, TP/DP shardings, pjit training step.
+
+XLA collectives over ICI replace the reference's (nonexistent) NCCL layer;
+see SURVEY.md §2.9 for the mapping.
+"""
+
+from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh,
+                   make_param_shardings, replicated, shard_params)
+from .train import (TrainBatch, init_training, loss_fn, make_optimizer,
+                    make_train_step)
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "make_param_shardings",
+    "data_sharding", "replicated", "shard_params",
+    "TrainBatch", "make_optimizer", "make_train_step", "init_training",
+    "loss_fn",
+]

@@ -64,6 +64,8 @@ class AsrPipeline:
         self._sec_buckets = sorted(cfg.audio_sec_buckets)
         self._batch_buckets = sorted(cfg.batch_buckets)
         self._lock = threading.Lock()  # jit cache population
+        self._compiled: set = set()  # (batch_bucket, len_bucket) seen
+        self.warmed_up = False
         self._fwd = jax.jit(
             self._forward,
             static_argnames=("max_symbols", "max_total"))
@@ -89,6 +91,18 @@ class AsrPipeline:
     # ------------------------------------------------------------------
     # bucketing helpers
     # ------------------------------------------------------------------
+    def _fresh_pred(self):
+        """Cached prediction-net output/state for a fresh (SOS) lane."""
+        if not hasattr(self, "_fresh_cache"):
+            mcfg = self.model.config
+            out, state = jax.jit(self.model.predict_step)(
+                self.params, jnp.full((1,), mcfg.blank_id, jnp.int32),
+                self.model.init_state(1, jnp.float32))
+            self._fresh_cache = (np.asarray(out),
+                                 (np.asarray(state[0]),
+                                  np.asarray(state[1])))
+        return self._fresh_cache
+
     def _bucket_len(self, n_samples: int) -> int:
         for sec in self._sec_buckets:
             cap = int(sec * C.SAMPLE_RATE)
@@ -101,6 +115,13 @@ class AsrPipeline:
             if b <= cap:
                 return cap
         return self._batch_buckets[-1]
+
+    def is_warm(self, n_requests: int, max_samples: int) -> bool:
+        """True when the bucket program for this workload is already
+        compiled — callers use this to budget timeouts (XLA compiles can
+        take ~1 min on a cold bucket; see cold_bucket_timeout_secs)."""
+        key = (self._bucket_batch(n_requests), self._bucket_len(max_samples))
+        return key in self._compiled
 
     # ------------------------------------------------------------------
     # batched raw decode (used by the continuous batcher and bench)
@@ -130,41 +151,26 @@ class AsrPipeline:
             audio[i, :m] = s[:m]
             lens[i] = m
 
-        # assemble carried state
-        dtype = jnp.float32
+        # assemble carried state — ALWAYS passed explicitly so exactly one
+        # program exists per bucket (a None/array pred_out split would
+        # force a second cold compile on the first carried chunk)
         if stream_states is None:
             stream_states = [None] * b_real
-        h0, c0 = self.model.init_state(b, dtype)
-        h0 = np.array(h0)  # writable host copies for per-lane assembly
-        c0 = np.array(c0)
-        pred_out = None
+        fresh_out, fresh_state = self._fresh_pred()
+        h0 = np.tile(fresh_state[0], (1, b, 1))
+        c0 = np.tile(fresh_state[1], (1, b, 1))
+        pred0 = np.tile(fresh_out, (b, 1))
         last_token = np.full((b,), mcfg.blank_id, np.int32)
         token_offset = np.zeros((b,), np.int32)
-        have_carry = any(st is not None for st in stream_states)
-        if have_carry:
-            pred0 = np.zeros((b, mcfg.d_pred), np.float32)
-            # fresh lanes need pred_out = pred_step(blank, zeros); compute
-            # host-side once per call via the model step (cheap, jitted)
-            fresh_out, fresh_state = self.model.predict_step(
-                self.params, jnp.full((1,), mcfg.blank_id, jnp.int32),
-                self.model.init_state(1, dtype))
-            for i in range(b_real):
-                st = stream_states[i]
-                if st is None:
-                    pred0[i] = np.asarray(fresh_out)[0]
-                    h0[:, i] = np.asarray(fresh_state[0])[:, 0]
-                    c0[:, i] = np.asarray(fresh_state[1])[:, 0]
-                else:
-                    h0[:, i] = np.asarray(st.state[0])[:, 0]
-                    c0[:, i] = np.asarray(st.state[1])[:, 0]
-                    pred0[i] = np.asarray(st.pred_out)[0]
-                    last_token[i] = int(np.asarray(st.last_token)[0])
-                    token_offset[i] = st.tokens_emitted
-            for i in range(b_real, b):
-                pred0[i] = np.asarray(fresh_out)[0]
-                h0[:, i] = np.asarray(fresh_state[0])[:, 0]
-                c0[:, i] = np.asarray(fresh_state[1])[:, 0]
-            pred_out = jnp.asarray(pred0)
+        for i in range(b_real):
+            st = stream_states[i]
+            if st is not None:
+                h0[:, i] = np.asarray(st.state[0])[:, 0]
+                c0[:, i] = np.asarray(st.state[1])[:, 0]
+                pred0[i] = np.asarray(st.pred_out)[0]
+                last_token[i] = int(np.asarray(st.last_token)[0])
+                token_offset[i] = st.tokens_emitted
+        pred_out = jnp.asarray(pred0)
 
         res, feat_lens, enc_lens = self._fwd(
             self.params, jnp.asarray(audio), jnp.asarray(lens),
@@ -172,6 +178,7 @@ class AsrPipeline:
             jnp.asarray(last_token), jnp.asarray(token_offset),
             max_symbols=cfg.max_symbols_per_step,
             max_total=cfg.max_total_tokens)
+        self._compiled.add((b, n))
 
         new_states: List[StreamState] = []
         for i in range(b_real):
@@ -217,14 +224,17 @@ class AsrPipeline:
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
                secs: Optional[Sequence[float]] = None) -> int:
         """Pre-compile bucket programs (startup analogue of the reference's
-        connection prewarming, ref: src/main.rs:79-85). Returns #programs."""
+        connection prewarming, ref: src/main.rs:79-85). Default: batch=1
+        across every length bucket — the single-request serving set.
+        Returns #programs."""
         n = 0
         for b in (batch_sizes or self._batch_buckets[:1]):
-            for s in (secs or self._sec_buckets[:1]):
+            for s in (secs if secs is not None else self._sec_buckets):
                 samples = [np.zeros(int(s * C.SAMPLE_RATE), np.float32)
                            for _ in range(b)]
                 self.decode_samples_batch(samples)
                 n += 1
+        self.warmed_up = True
         return n
 
     # ------------------------------------------------------------------

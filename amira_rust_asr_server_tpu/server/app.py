@@ -1,0 +1,320 @@
+"""HTTP/WebSocket front-end.
+
+Route and behavior parity with the reference's axum router
+(ref: src/server/handlers.rs:246-255):
+
+    GET  /v2/decode/stream/{model}   WebSocket streaming
+    POST /v2/decode/batch/{model}    batch transcription
+    GET  /health                     health check
+    GET  /metrics                    JSON metrics (or prometheus)
+    POST /admin/reset-batch-count    zombie-request reset
+
+Request validation (handlers.rs:66-118): non-empty even-length audio,
+100MB byte cap, 30 s duration cap, 10KB opaque cap. Admission control via
+non-blocking semaphores (503 on exhaustion). CORS is permissive.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import uuid
+from typing import Any, Optional
+
+import numpy as np
+from aiohttp import web
+
+from .. import constants as C
+from ..config import Config
+from ..errors import AppError, CapacityExceededError, RequestValidationError
+from ..models import Transducer
+from ..reliability import get_logger, init_tracing, request_span
+from ..runtime import AsrPipeline
+from ..types import AsrResponse, StreamStatus
+from ..vocab import Vocabulary
+from .state import AppState
+from .stream import StreamProcessor
+
+log = get_logger("asr.server")
+
+
+# ---------------------------------------------------------------------------
+# request parsing / validation
+# ---------------------------------------------------------------------------
+def parse_batch_request(body: dict) -> tuple[bytes, Any]:
+    """Extract (audio_bytes, opaque) from a batch request body.
+
+    ``audio_buffer`` accepts a JSON array of u8 (the reference's wire form,
+    serde Vec<u8>) or a base64 string (extension for sane payload sizes).
+    """
+    if "audio_buffer" not in body:
+        raise RequestValidationError("audio_buffer is required")
+    raw = body["audio_buffer"]
+    if isinstance(raw, str):
+        try:
+            audio = base64.b64decode(raw, validate=True)
+        except Exception:
+            raise RequestValidationError(
+                "audio_buffer string must be base64") from None
+    elif isinstance(raw, list):
+        try:
+            audio = bytes(raw)
+        except (ValueError, TypeError):
+            raise RequestValidationError(
+                "audio_buffer must contain bytes 0-255") from None
+    else:
+        raise RequestValidationError("audio_buffer must be array or base64")
+
+    if len(audio) == 0:
+        raise RequestValidationError("Audio buffer cannot be empty")
+    if len(audio) % 2 != 0:
+        raise RequestValidationError(
+            "Audio buffer length must be even for 16-bit PCM")
+    if len(audio) > C.MAX_AUDIO_BYTES:
+        raise RequestValidationError(
+            f"Audio buffer too large: {len(audio)} bytes "
+            f"(max: {C.MAX_AUDIO_BYTES} bytes)")
+    secs = len(audio) / (C.SAMPLE_RATE * 2.0)
+    if secs > C.MAX_BATCH_AUDIO_LENGTH_SECS:
+        raise RequestValidationError(
+            f"Audio too long: {secs:.1f}s "
+            f"(max: {C.MAX_BATCH_AUDIO_LENGTH_SECS:.0f}s)")
+
+    opaque = body.get("opaque")
+    if opaque is not None:
+        if len(json.dumps(opaque)) > C.MAX_OPAQUE_BYTES:
+            raise RequestValidationError("Opaque data too large (max: 10KB)")
+    return audio, opaque
+
+
+def error_response(err: Exception) -> web.Response:
+    if isinstance(err, AppError):
+        return web.json_response(err.to_json(), status=err.http_status)
+    return web.json_response(
+        {"error": "internal_error", "message": str(err)}, status=500)
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+async def handle_batch(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    if state.shutdown.is_shutting_down:
+        return web.json_response(
+            {"error": "shutting_down", "message": "server is draining"},
+            status=503)
+    if not state.batch_semaphore.try_acquire():
+        state.metrics.record_rejection()
+        return error_response(CapacityExceededError(
+            "Too many concurrent batch requests"))
+    state.metrics.increment_batch()
+    import time
+    t0 = time.perf_counter()
+    try:
+        try:
+            body = await request.json()
+        except Exception:
+            raise RequestValidationError("invalid JSON body") from None
+        audio, opaque = parse_batch_request(body)
+
+        with request_span("batch", model=request.match_info.get("model")):
+            loop = asyncio.get_running_loop()
+            fut = loop.run_in_executor(
+                state.inference_executor,
+                state.pipeline.process_batch, audio)
+            # budget: cold buckets include an XLA compile (~1 min under
+            # remote compile) — don't 504 them at the serving timeout
+            warm = state.pipeline.is_warm(1, len(audio) // 2)
+            budget = (state.config.inference_timeout_secs * 6 if warm
+                      else state.config.cold_bucket_timeout_secs)
+            async with state.shutdown.guard():
+                tr = await state.breaker.call_async(
+                    asyncio.wait_for(fut, budget))
+
+        response = AsrResponse(
+            transcription=tr.text, status=StreamStatus.COMPLETE,
+            metadata={
+                "audio_length_samples": tr.audio_length_samples,
+                "features_length": tr.features_length,
+                "encoded_length": tr.encoded_length,
+                "tokens": tr.tokens,
+            }, opaque=opaque)
+        if state.prometheus:
+            state.prometheus.observe_request(
+                "batch", "ok", time.perf_counter() - t0,
+                len(audio) / (2 * C.SAMPLE_RATE))
+        return web.json_response(response.to_json())
+    except asyncio.TimeoutError:
+        state.metrics.record_error()
+        return web.json_response(
+            {"error": "inference_timeout", "message": "inference timed out"},
+            status=504)
+    except Exception as e:  # noqa: BLE001
+        if not isinstance(e, AppError):
+            log.exception("batch handler error")
+        state.metrics.record_error()
+        if state.prometheus:
+            state.prometheus.observe_request("batch", "error")
+        return error_response(e)
+    finally:
+        state.metrics.decrement_batch()
+        state.batch_semaphore.release()
+
+
+async def handle_stream(request: web.Request) -> web.StreamResponse:
+    state: AppState = request.app["state"]
+    ws = web.WebSocketResponse(heartbeat=None, max_msg_size=2 * C.MAX_WS_CHUNK_BYTES)
+    await ws.prepare(request)
+
+    if not state.stream_semaphore.try_acquire():
+        state.metrics.record_rejection()
+        log.error("rejected stream: too many concurrent streams")
+        await ws.close(code=1013, message=b"too many concurrent streams")
+        return ws
+
+    state.metrics.increment_stream()
+    processor = StreamProcessor(ws, state)
+    stream_id = processor.stream_id
+    state.active_streams[stream_id] = processor
+    log.info("stream %s started (model=%s)", stream_id,
+             request.match_info.get("model"))
+    try:
+        async with state.shutdown.guard():
+            await processor.process()
+    finally:
+        # RAII-style cleanup (ref: StreamCleanupGuard, handlers.rs:26-41)
+        state.active_streams.pop(stream_id, None)
+        state.metrics.decrement_stream()
+        state.stream_semaphore.release()
+        if not ws.closed:
+            await ws.close()
+        log.info("stream %s ended", stream_id)
+    return ws
+
+
+async def health_check(request: web.Request) -> web.Response:
+    return web.json_response({
+        "status": "healthy",
+        "service": "amira-asr-tpu-server",
+        "version": "1.0.0",
+    })
+
+
+async def metrics_handler(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    if state.prometheus:
+        return web.Response(body=state.prometheus.exposition(),
+                            content_type="text/plain")
+    payload = state.metrics.to_json()
+    payload["circuit_breaker"] = state.breaker.stats()
+    return web.json_response(payload)
+
+
+async def reset_batch_count(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    state.metrics.reset_batch_count()
+    return web.json_response({
+        "status": "success",
+        "message": "Batch count reset successfully",
+    })
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "*"
+    return resp
+
+
+# ---------------------------------------------------------------------------
+# app factory
+# ---------------------------------------------------------------------------
+def create_app(state: AppState) -> web.Application:
+    app = web.Application(middlewares=[cors_middleware],
+                          client_max_size=2 * C.MAX_AUDIO_BYTES)
+    app["state"] = state
+    app.router.add_get("/v2/decode/stream/{model}", handle_stream)
+    app.router.add_post("/v2/decode/batch/{model}", handle_batch)
+    app.router.add_get("/health", health_check)
+    app.router.add_get("/metrics", metrics_handler)
+    app.router.add_post("/admin/reset-batch-count", reset_batch_count)
+    return app
+
+
+def build_state(config: Optional[Config] = None,
+                preset: Optional[str] = None,
+                warmup: Optional[bool] = None) -> AppState:
+    """Wire config -> model -> pipeline -> state (ref: src/main.rs:23-112)."""
+    import jax
+
+    cfg = config or Config.load()
+    if cfg.inference_backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    model = Transducer.from_preset(preset or cfg.model_preset)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng)
+    if cfg.checkpoint_path:
+        params = model.load_checkpoint(cfg.checkpoint_path, like=params)
+        log.info("loaded checkpoint from %s", cfg.checkpoint_path)
+    try:
+        vocab = Vocabulary.load(cfg.vocabulary_path)
+    except FileNotFoundError:
+        log.warning("vocabulary %s not found; using empty vocab",
+                    cfg.vocabulary_path)
+        vocab = Vocabulary.from_map({})
+    pipeline = AsrPipeline(model, params, vocab, cfg)
+    if warmup if warmup is not None else cfg.warmup_on_start:
+        import time
+        t0 = time.time()
+        n = pipeline.warmup()
+        log.info("warmed %d bucket programs in %.1fs", n, time.time() - t0)
+    return AppState(pipeline, vocab, cfg)
+
+
+async def run_server(state: AppState, host: Optional[str] = None,
+                     port: Optional[int] = None) -> None:
+    cfg = state.config
+    app = create_app(state)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host or cfg.server_host,
+                       port or cfg.server_port)
+    await site.start()
+    state.shutdown.install_signal_handlers()
+    log.info("serving on %s:%s", host or cfg.server_host,
+             port or cfg.server_port)
+    await state.shutdown.wait_for_shutdown()
+    log.info("shutdown: draining")
+    drained = await state.shutdown.drain()
+    log.info("drained=%s; closing", drained)
+    await runner.cleanup()
+    state.close()
+
+
+def main(argv=None) -> None:
+    import argparse
+    parser = argparse.ArgumentParser(description="TPU ASR server")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--preset", default=None,
+                        help="model preset (tiny/base/large)")
+    parser.add_argument("--config-dir", default=".")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip startup precompilation of bucket programs")
+    args = parser.parse_args(argv)
+
+    init_tracing()
+    cfg = Config.load(search_dir=args.config_dir)
+    state = build_state(cfg, preset=args.preset,
+                        warmup=False if args.no_warmup else None)
+    asyncio.run(run_server(state, args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Application state: DI container for the serving layer.
+
+Parity with the reference's AppState (ref: src/server/state.rs:16-62):
+pipeline, vocabulary, metrics, stream/batch admission semaphores, active
+stream registry — plus the TPU additions: a dedicated device-dispatch
+executor (the analogue of the reference's specialized tokio runtimes,
+ref: src/performance/specialized_pools.rs:14-140), circuit breaker and
+graceful shutdown wired in.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from typing import Dict, Optional
+
+from ..config import Config
+from ..reliability import CircuitBreaker, GracefulShutdown
+from ..runtime import AsrPipeline
+from ..vocab import Vocabulary
+from .metrics import PrometheusMetrics, ServiceMetrics
+
+
+class TryAcquireSemaphore:
+    """Counting semaphore with non-blocking acquire (the reference rejects
+    with 503 instead of queueing, ref: handlers.rs:176-179). Safe without a
+    lock: only touched from the event-loop thread."""
+
+    def __init__(self, limit: int):
+        self.limit = limit
+        self._held = 0
+
+    def try_acquire(self) -> bool:
+        if self._held >= self.limit:
+            return False
+        self._held += 1
+        return True
+
+    def release(self) -> None:
+        self._held = max(0, self._held - 1)
+
+    @property
+    def available(self) -> int:
+        return self.limit - self._held
+
+
+class AppState:
+    def __init__(self, pipeline: AsrPipeline, vocab: Vocabulary,
+                 config: Optional[Config] = None):
+        self.config = config or pipeline.config
+        self.pipeline = pipeline
+        self.vocab = vocab
+        self.metrics = ServiceMetrics(
+            self.config.max_concurrent_streams,
+            self.config.max_concurrent_batches)
+        self.prometheus: Optional[PrometheusMetrics] = None
+        if self.config.metrics_backend == "prometheus":
+            self.prometheus = PrometheusMetrics(self.metrics)
+        self.stream_semaphore = TryAcquireSemaphore(
+            self.config.max_concurrent_streams)
+        self.batch_semaphore = TryAcquireSemaphore(
+            self.config.max_concurrent_batches)
+        self.active_streams: Dict[str, object] = {}
+        self.breaker = CircuitBreaker()
+        self.shutdown = GracefulShutdown()
+        # single dispatch thread: XLA executions for one chip serialize
+        # anyway; a second thread only adds contention. IO stays on the
+        # event loop (the reference's io/inference runtime split).
+        self.inference_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="device-dispatch")
+
+    def close(self) -> None:
+        self.inference_executor.shutdown(wait=False, cancel_futures=True)

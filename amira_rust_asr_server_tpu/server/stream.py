@@ -1,0 +1,197 @@
+"""WebSocket streaming session processor.
+
+Protocol parity with the reference's StreamProcessor
+(ref: src/server/stream.rs:54-518):
+- binary frames carry 16-bit PCM; 1-byte frames are control bytes
+  (END=0xFF, KEEPALIVE=0x00 — the values the reference *code* uses,
+  constants.rs:243-246)
+- per-frame 1MB cap, 100 msg/s sliding-window rate limit
+- partials once >= 0.1 s of audio is buffered (ACTIVE), keepalive ticks
+  every 100 ms, 30 s inactivity timeout, 5 s inference timeout
+- ACTIVE partial metadata: {audio_length_seconds, processing_time_ms};
+  final response is COMPLETE.
+
+Deviation (documented): on the END control byte the reference surfaces an
+Error-status frame before the final COMPLETE (stream.rs:236-244 routes END
+through the error path); here END cleanly finalizes with COMPLETE only.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import WSMsgType, web
+
+from .. import constants as C
+from ..reliability import get_logger
+from ..runtime.incremental import IncrementalAsr
+from ..types import AsrResponse, StreamStatus
+from .state import AppState
+
+log = get_logger("asr.stream")
+
+
+class RateLimiter:
+    """Sliding-window message rate limit (ref: stream.rs:447-484)."""
+
+    def __init__(self, max_messages: int = C.MAX_MESSAGES_PER_WINDOW,
+                 window_secs: float = C.RATE_LIMIT_WINDOW_SECS):
+        self.max_messages = max_messages
+        self.window_secs = window_secs
+        self._count = 0
+        self._window_start = time.monotonic()
+
+    def check(self) -> bool:
+        now = time.monotonic()
+        if now - self._window_start >= self.window_secs:
+            self._window_start = now
+            self._count = 0
+        self._count += 1
+        return self._count <= self.max_messages
+
+
+class StreamProcessor:
+    def __init__(self, ws: web.WebSocketResponse, state: AppState,
+                 stream_id: Optional[str] = None):
+        self.ws = ws
+        self.state = state
+        self.stream_id = stream_id or uuid.uuid4().hex
+        cfg = state.config
+        self.incremental = IncrementalAsr(
+            state.pipeline, cfg.chunk_size_seconds,
+            cfg.leading_context_seconds, cfg.trailing_context_seconds,
+            cfg.buffer_capacity_seconds)
+        self.pending = bytearray()  # audio awaiting the partial threshold
+        self.last_transcription = ""
+        self.is_paused = False
+        self.rate_limiter = RateLimiter()
+        self.closed = False
+
+    # ------------------------------------------------------------------
+    async def process(self) -> None:
+        """Main event loop: multiplex WS frames, keepalive ticks, shutdown."""
+        cfg = self.state.config
+        last_activity = time.monotonic()
+        keepalive_period = cfg.keepalive_check_period_ms / 1000.0
+        ended = False
+
+        while not self.closed:
+            if self.state.shutdown.is_shutting_down:
+                log.info("stream %s: server shutdown", self.stream_id)
+                break
+            try:
+                msg = await self.ws.receive(timeout=keepalive_period)
+            except asyncio.TimeoutError:
+                # keepalive tick (ref: stream.rs:174-194)
+                if (time.monotonic() - last_activity
+                        > cfg.stream_timeout_secs):
+                    await self.send_error("Stream timeout")
+                    break
+                if self.is_paused:
+                    await self.send_response(AsrResponse(
+                        transcription=self.last_transcription,
+                        status=StreamStatus.PAUSED))
+                continue
+
+            if msg.type == WSMsgType.BINARY:
+                last_activity = time.monotonic()
+                try:
+                    ended = await self.handle_audio_chunk(msg.data)
+                except Exception as e:  # noqa: BLE001 — error frame + close
+                    log.error("stream %s chunk error: %s",
+                              self.stream_id, e)
+                    self.state.metrics.record_error()
+                    await self.send_error(str(e))
+                    break
+                if ended:
+                    break
+            elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING,
+                              WSMsgType.CLOSED, WSMsgType.ERROR):
+                break
+            # text/ping/pong frames ignored (parity: stream.rs:169-171)
+
+        # final drain (ref: stream.rs:203-207)
+        if self.pending or ended or self.last_transcription:
+            try:
+                await self.process_buffered(is_final=True)
+            except Exception as e:  # noqa: BLE001
+                log.error("stream %s final drain failed: %s",
+                          self.stream_id, e)
+
+    # ------------------------------------------------------------------
+    async def handle_audio_chunk(self, data: bytes) -> bool:
+        """Returns True when the END control byte arrived."""
+        self.is_paused = False
+
+        if len(data) > C.MAX_WS_CHUNK_BYTES:
+            raise ValueError(
+                f"Audio chunk too large: {len(data)} bytes "
+                f"(max: {C.MAX_WS_CHUNK_BYTES})")
+        if not self.rate_limiter.check():
+            raise ValueError("Rate limit exceeded")
+
+        if len(data) == 1:
+            control = data[0]
+            if control == C.CONTROL_BYTE_END:
+                return True
+            if control == C.CONTROL_BYTE_KEEPALIVE:
+                self.is_paused = True
+                return False
+            raise ValueError("Unknown control byte")
+
+        if len(data) % 2 != 0:
+            raise ValueError(
+                "Audio data length must be even for 16-bit PCM")
+
+        self.pending += data
+        if len(self.pending) >= C.MIN_PARTIAL_TRANSCRIPTION_SAMPLES * 2:
+            await self.process_buffered(is_final=False)
+        return False
+
+    # ------------------------------------------------------------------
+    async def process_buffered(self, is_final: bool) -> None:
+        chunk = bytes(self.pending)
+        self.pending.clear()
+        t0 = time.perf_counter()
+
+        if chunk:
+            loop = asyncio.get_running_loop()
+            fut = loop.run_in_executor(
+                self.state.inference_executor,
+                self.incremental.process_chunk, chunk)
+            budget = (self.state.config.inference_timeout_secs
+                      if self.state.pipeline.warmed_up
+                      else self.state.config.cold_bucket_timeout_secs)
+            try:
+                transcription = await self.state.breaker.call_async(
+                    asyncio.wait_for(fut, budget))
+            except asyncio.TimeoutError:
+                raise ValueError("ASR processing timeout") from None
+            self.last_transcription = transcription
+
+        await self.send_response(AsrResponse(
+            transcription=self.last_transcription,
+            status=(StreamStatus.COMPLETE if is_final
+                    else StreamStatus.ACTIVE),
+            metadata={
+                "audio_length_seconds": self.incremental.audio_length(),
+                "processing_time_ms": round(
+                    (time.perf_counter() - t0) * 1e3),
+            }))
+
+    # ------------------------------------------------------------------
+    async def send_response(self, response: AsrResponse) -> None:
+        if self.ws.closed:
+            self.closed = True
+            return
+        try:
+            await self.ws.send_json(response.to_json())
+        except ConnectionError:
+            self.closed = True
+
+    async def send_error(self, message: str) -> None:
+        await self.send_response(AsrResponse(
+            transcription="", status=StreamStatus.ERROR, message=message))

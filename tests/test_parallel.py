@@ -1,0 +1,99 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amira_rust_asr_server_tpu.models import Transducer
+from amira_rust_asr_server_tpu.parallel import (TrainBatch, init_training,
+                                                make_mesh, make_optimizer,
+                                                make_param_shardings,
+                                                make_train_step,
+                                                shard_params)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Transducer.from_preset("tiny")
+
+
+def test_mesh_shapes():
+    mesh = make_mesh({"data": 2, "model": 4})
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh_dp = make_mesh()
+    assert mesh_dp.shape["data"] == 8
+
+
+def test_param_shardings_tensor_parallel(model):
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 2, "model": 4})
+    sh = make_param_shardings(mesh, params)
+    # the embed table [16, 32]: 16 % 4 == 0 -> sharded on model axis
+    spec = sh["predictor"]["embed"].spec
+    assert spec[0] == "model"
+    # LSTM gate matrix [in+h, 4h]: output dim sharded
+    spec = sh["predictor"]["lstm"][0]["w"].spec
+    assert spec[-1] == "model"
+    sharded = shard_params(mesh, params)
+    # placing must preserve values
+    np.testing.assert_allclose(
+        np.asarray(sharded["joint"]["out"]["w"]),
+        np.asarray(params["joint"]["out"]["w"]))
+
+
+def test_sharded_train_step_runs_and_matches_single(model):
+    """One pjit'd train step on a 2x4 mesh: loss finite, and equal to the
+    unsharded step's loss (GSPMD must not change the math)."""
+    optimizer = make_optimizer(lr=1e-3)
+    mesh = make_mesh({"data": 2, "model": 4})
+    rng = np.random.default_rng(0)
+    b, n, u = 2, 3200, 4
+    batch = TrainBatch(
+        audio=jnp.asarray(rng.standard_normal((b, n)) * 0.1, jnp.float32),
+        audio_lens=jnp.array([n, n - 800], jnp.int32),
+        labels=jnp.asarray(rng.integers(0, model.config.blank_id, (b, u)),
+                           jnp.int32),
+        label_lens=jnp.array([u, 2], jnp.int32),
+    )
+
+    # single-device baseline
+    params0, opt0 = init_training(model, jax.random.PRNGKey(1), optimizer)
+    step0 = make_train_step(model, optimizer)
+    p1, o1, loss_single = step0(params0, opt0, batch)
+
+    # sharded
+    params, opt_state = init_training(model, jax.random.PRNGKey(1),
+                                      optimizer, mesh)
+    step_builder = make_train_step(model, optimizer, mesh)
+    step = step_builder(params, opt_state)
+    params2, opt2, loss_sharded = step(params, opt_state, batch)
+
+    assert np.isfinite(float(loss_sharded))
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=2e-4)
+    # a second step runs from the returned state (donation-safe plumbing)
+    params3, opt3, loss2 = step(params2, opt2, batch)
+    assert np.isfinite(float(loss2))
+    assert float(loss2) < float(loss_sharded)  # it is learning the batch
+
+
+def test_data_parallel_inference_sharding(model):
+    """Greedy decode with batch sharded over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from amira_rust_asr_server_tpu.ops.greedy import greedy_decode_transducer
+
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 8, "model": 1})
+    rng = np.random.default_rng(1)
+    b, t = 8, 12
+    enc = jnp.asarray(rng.standard_normal((b, t, model.config.d_enc)),
+                      jnp.float32)
+    enc_sharded = jax.device_put(
+        enc, NamedSharding(mesh, P("data", None, None)))
+    lens = jax.device_put(jnp.full((b,), t, jnp.int32),
+                          NamedSharding(mesh, P("data")))
+    res_sharded = greedy_decode_transducer(model, params, enc_sharded, lens)
+    res_local = greedy_decode_transducer(model, params, enc, jnp.full((b,), t))
+    np.testing.assert_array_equal(np.asarray(res_sharded.tokens),
+                                  np.asarray(res_local.tokens))

@@ -1,0 +1,230 @@
+"""Server surface tests: routes, validation, WS protocol, admission control
+(ref surface: src/server/handlers.rs, src/server/stream.rs).
+
+No pytest-asyncio in the image; each test drives an aiohttp TestClient
+inside asyncio.run().
+"""
+
+import asyncio
+import base64
+import json
+
+import jax
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from amira_rust_asr_server_tpu import constants as C
+from amira_rust_asr_server_tpu.config import Config
+from amira_rust_asr_server_tpu.models import Transducer
+from amira_rust_asr_server_tpu.runtime import AsrPipeline
+from amira_rust_asr_server_tpu.server import AppState, create_app
+from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+_STATE_CACHE = {}
+
+
+def make_state(**cfg_overrides) -> AppState:
+    key = tuple(sorted(cfg_overrides.items()))
+    if key not in _STATE_CACHE:
+        model = Transducer.from_preset("tiny")
+        params = model.init(jax.random.PRNGKey(0))
+        vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+        cfg = Config(audio_sec_buckets=[0.5, 2.0], batch_buckets=[1, 2],
+                     max_symbols_per_step=5, max_total_tokens=50,
+                     **cfg_overrides)
+        pipeline = AsrPipeline(model, params, vocab, cfg)
+        _STATE_CACHE[key] = (model, params, vocab, cfg, pipeline)
+    model, params, vocab, cfg, pipeline = _STATE_CACHE[key]
+    return AppState(pipeline, vocab, cfg)
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+async def with_client(state, fn):
+    app = create_app(state)
+    async with TestClient(TestServer(app)) as client:
+        return await fn(client)
+
+
+def _pcm_list(n=3200, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-3000, 3000, n, dtype=np.int16).tobytes()
+
+
+# ---------------------------------------------------------------------------
+def test_health():
+    async def go(client):
+        resp = await client.get("/health")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "healthy"
+    run(with_client(make_state(), go))
+
+
+def test_metrics_json():
+    async def go(client):
+        resp = await client.get("/metrics")
+        body = await resp.json()
+        assert body["active_streams"] == 0
+        assert body["max_streams"] == 10
+        assert "circuit_breaker" in body
+    run(with_client(make_state(), go))
+
+
+def test_batch_decode_roundtrip():
+    async def go(client):
+        pcm = _pcm_list()
+        resp = await client.post(
+            "/v2/decode/batch/default",
+            json={"audio_buffer": list(pcm), "opaque": {"req": 7}})
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "COMPLETE"
+        assert isinstance(body["transcription"], str)
+        assert body["opaque"] == {"req": 7}
+        md = body["metadata"]
+        assert md["audio_length_samples"] == len(pcm) // 2
+        assert md["features_length"] == 1 + (len(pcm) // 2) // 160
+        assert isinstance(md["tokens"], list)
+    run(with_client(make_state(), go))
+
+
+def test_batch_decode_base64():
+    async def go(client):
+        pcm = _pcm_list()
+        resp = await client.post(
+            "/v2/decode/batch/default",
+            json={"audio_buffer": base64.b64encode(pcm).decode()})
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "COMPLETE"
+        # opaque omitted when not provided
+        assert "opaque" not in body
+    run(with_client(make_state(), go))
+
+
+@pytest.mark.parametrize("payload,frag", [
+    ({"audio_buffer": []}, "empty"),
+    ({"audio_buffer": [1, 2, 3]}, "even"),
+    ({}, "required"),
+    ({"audio_buffer": "!!!notb64"}, "base64"),
+    ({"audio_buffer": [0, 1],
+      "opaque": {"x": "y" * 11_000}}, "Opaque"),
+])
+def test_batch_validation_errors(payload, frag):
+    async def go(client):
+        resp = await client.post("/v2/decode/batch/default", json=payload)
+        assert resp.status == 400
+        body = await resp.json()
+        assert frag.lower() in body["message"].lower()
+    run(with_client(make_state(), go))
+
+
+def test_batch_audio_too_long():
+    async def go(client):
+        n = int(C.MAX_BATCH_AUDIO_LENGTH_SECS * C.SAMPLE_RATE + 16000) * 2
+        resp = await client.post(
+            "/v2/decode/batch/default",
+            json={"audio_buffer": base64.b64encode(b"\0" * n).decode()})
+        assert resp.status == 400
+        body = await resp.json()
+        assert "too long" in body["message"].lower()
+    run(with_client(make_state(), go))
+
+
+def test_batch_capacity_rejection():
+    async def go(client):
+        state = client.app["state"]
+        state.batch_semaphore._held = state.batch_semaphore.limit
+        resp = await client.post(
+            "/v2/decode/batch/default",
+            json={"audio_buffer": [0, 1]})
+        assert resp.status == 503
+        state.batch_semaphore._held = 0
+    run(with_client(make_state(), go))
+
+
+def test_reset_batch_count():
+    async def go(client):
+        state = client.app["state"]
+        state.metrics.active_batches = 5
+        resp = await client.post("/admin/reset-batch-count")
+        assert resp.status == 200
+        assert state.metrics.active_batches == 0
+    run(with_client(make_state(), go))
+
+
+# ---------------------------------------------------------------------------
+# WebSocket streaming
+# ---------------------------------------------------------------------------
+def test_ws_stream_partials_and_complete():
+    async def go(client):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        pcm = _pcm_list(n=16000)  # 1 s
+        # send in 0.25 s chunks -> partials after each >=0.1s accumulation
+        for i in range(0, len(pcm), 8000):
+            await ws.send_bytes(pcm[i:i + 8000])
+        # collect a partial
+        msg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+        assert msg["status"] in ("ACTIVE", "COMPLETE")
+        assert "transcription" in msg
+        assert "audio_length_seconds" in msg["metadata"]
+        # end-of-stream control byte
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+        final = None
+        while True:
+            raw = await asyncio.wait_for(ws.receive(), timeout=30)
+            if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                break
+            data = json.loads(raw.data)
+            final = data
+            if data["status"] == "COMPLETE":
+                break
+        assert final is not None and final["status"] == "COMPLETE"
+        await ws.close()
+    run(with_client(make_state(), go))
+
+
+def test_ws_keepalive_pause():
+    async def go(client):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_KEEPALIVE]))
+        msg = await asyncio.wait_for(ws.receive_json(), timeout=10)
+        assert msg["status"] == "PAUSED"
+        await ws.close()
+    run(with_client(make_state(), go))
+
+
+def test_ws_unknown_control_byte_errors():
+    async def go(client):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(bytes([0x42]))
+        msg = await asyncio.wait_for(ws.receive_json(), timeout=10)
+        assert msg["status"] == "ERROR"
+        assert "control" in msg["message"].lower()
+        await ws.close()
+    run(with_client(make_state(), go))
+
+
+def test_ws_odd_length_frame_errors():
+    async def go(client):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(b"\x01\x02\x03")
+        msg = await asyncio.wait_for(ws.receive_json(), timeout=10)
+        assert msg["status"] == "ERROR"
+        await ws.close()
+    run(with_client(make_state(), go))
+
+
+def test_ws_stream_capacity_rejection():
+    async def go(client):
+        state = client.app["state"]
+        state.stream_semaphore._held = state.stream_semaphore.limit
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        msg = await asyncio.wait_for(ws.receive(), timeout=10)
+        assert msg.type.name in ("CLOSE", "CLOSED")
+        state.stream_semaphore._held = 0
+    run(with_client(make_state(), go))
