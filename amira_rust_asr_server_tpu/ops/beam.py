@@ -1,0 +1,317 @@
+"""Batched RNN-T beam search on device.
+
+Capability parity with the reference's k2 Triton backend — GPU lattice
+beam search with configurable beams and decoding-graph biasing
+(ref: src/triton_backends/k2_decoder/k2_decoder_backend.cc:63-253) —
+re-designed for TPU: instead of an FST intersection, a *time-synchronous
+beam* over the transducer lattice, fully batched over (batch x beam) with
+fixed label expansions per frame, so every step is dense MXU work
+([B*K]-lane LSTM step + joint matmul, top-k over K*V candidates).
+
+Algorithm (TSD with per-frame expansion cap, cf. the transducer
+beam-search literature):
+  for each frame t:
+    C <- surviving hypotheses (the previous frame's blank pool)
+    for s in 0..max_expansions-1:
+      lp = log_softmax(joint(enc_t, C.pred_out)) (+ bias)
+      * blank candidates C.score + lp[blank] finalize the frame ->
+        merged into the frame's blank pool (top-K of pool U candidates)
+      * label candidates C.score + lp[v] (v != blank): top-K over K*V
+        become the next micro-step's C (prediction-net stepped on the
+        chosen labels)
+    next frame's hypotheses = blank pool
+Hypothesis token strings are never shuffled on device: each micro-step
+emits compact backtrace arrays (parent index + token), and the winning
+path is reconstructed on host from [T, S, B, K] int32 arrays.
+
+Biasing: an additive log-space bias vector over the vocabulary (shallow
+fusion) built host-side from phrases (:func:`make_bias_vector`) — the
+practical core of "lexicon-biased decoding" without shipping an FST.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (DEFAULT_BEAM_WIDTH, MAX_SYMBOLS_PER_STEP,
+                         MAX_TOTAL_TOKENS)
+
+NEG_INF = -1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BeamTrace:
+    """Device-side output of the beam scan; host reconstructs paths."""
+
+    pool_scores: jax.Array     # [B, K] final hypothesis scores
+    pool_lens: jax.Array       # [B, K] emitted-token counts
+    exp_parent: jax.Array      # [T, S, B, K] parent hyp at each expansion
+    exp_token: jax.Array       # [T, S, B, K] emitted token
+    pool_parent_s: jax.Array   # [T, B, K] micro-step the pool entry ended at
+    pool_parent_k: jax.Array   # [T, B, K] hyp index within that micro-step
+
+
+@dataclasses.dataclass
+class BeamResult:
+    tokens: np.ndarray   # [B, max_total] int32
+    counts: np.ndarray   # [B] int32
+    scores: np.ndarray   # [B] float32 (log prob of best hyp)
+    n_best: Optional[List[List[Tuple[float, List[int]]]]] = None
+
+
+def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
+                init_state, blank_id: int, *,
+                beam_width: int = DEFAULT_BEAM_WIDTH,
+                max_expansions: int = 3,
+                bias: Optional[jax.Array] = None,
+                vocab_size: Optional[int] = None) -> BeamTrace:
+    """Run the device-side beam scan. See module docstring.
+
+    ``init_state`` leaves must be [L, B, ...] like greedy_decode's; they are
+    broadcast to [L, B*K, ...] internally (hyp-major lanes).
+    """
+    b, t_max, d_enc = enc.shape
+    k = beam_width
+    s_max = max_expansions
+    enc_lens = enc_lens.astype(jnp.int32)
+
+    # broadcast state to B*K lanes (lane layout: b * K + k)
+    def bc(x):
+        # [L, B, ...] -> [L, B*K, ...]
+        reps = [1] * x.ndim
+        expanded = jnp.repeat(x, k, axis=1)
+        del reps
+        return expanded
+
+    state = jax.tree_util.tree_map(bc, init_state)
+    sos = jnp.full((b * k,), blank_id, jnp.int32)
+    pred_out, state = pred_fn(sos, state)            # [B*K, P]
+
+    scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    lens0 = jnp.zeros((b, k), jnp.int32)
+    bias_vec = (jnp.zeros((vocab_size,), jnp.float32)
+                if bias is None else bias)
+
+    def frame_step(carry, inputs):
+        scores, lens, pred_out, state, last_tok = carry
+        enc_t, t_idx = inputs                          # [B, D], scalar
+        active = t_idx < enc_lens                      # [B]
+
+        pool_scores = jnp.full((b, k), NEG_INF)
+        pool_lens = jnp.zeros((b, k), jnp.int32)
+        pool_ps = jnp.zeros((b, k), jnp.int32)
+        pool_pk = jnp.tile(jnp.arange(k)[None, :], (b, 1))
+        # pool states: filled by merges
+        pool_pred = pred_out
+        pool_state = state
+        pool_last = last_tok
+
+        exp_parents = []
+        exp_tokens = []
+
+        C = (scores, lens, pred_out, state, last_tok)
+        pool = (pool_scores, pool_lens, pool_pred, pool_state, pool_last,
+                pool_ps, pool_pk)
+
+        for s in range(s_max):
+            (c_scores, c_lens, c_pred, c_state, c_last) = C
+            (p_scores, p_lens, p_pred, p_state, p_last, p_ps, p_pk) = pool
+
+            enc_lanes = jnp.repeat(enc_t, k, axis=0)   # [B*K, D]
+            logits = joint_fn(enc_lanes, c_pred)       # [B*K, V]
+            v = logits.shape[-1]
+            lp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+            lp = lp + bias_vec[None, None, :]
+            # bias must not touch blank probability
+            lp = lp.at[:, :, blank_id].add(-bias_vec[blank_id])
+
+            # ---- blank candidates -> merge into pool -------------------
+            blank_cand = c_scores + lp[:, :, blank_id]          # [B, K]
+            blank_cand = jnp.where(active[:, None], blank_cand, NEG_INF)
+            # inactive lanes: at s=0 pass hyps through unchanged
+            if s == 0:
+                passthrough = jnp.where(active[:, None], NEG_INF, c_scores)
+                blank_cand = jnp.maximum(blank_cand, passthrough)
+
+            merged = jnp.concatenate([p_scores, blank_cand], axis=1)
+            top_scores, top_idx = jax.lax.top_k(merged, k)      # [B, K]
+            from_pool = top_idx < k                              # [B, K]
+            cand_k = jnp.where(from_pool, top_idx, top_idx - k)
+
+            def sel2(pool_x, c_x):
+                # gather along hyp axis for [B, K] leaves
+                return jnp.where(
+                    from_pool,
+                    jnp.take_along_axis(pool_x, cand_k, axis=1),
+                    jnp.take_along_axis(c_x, cand_k, axis=1))
+
+            def sel_lanes(pool_x, c_x):
+                # [L, B*K, ...] or [B*K, ...] leaves: gather lanes
+                def to_bk(x):
+                    return x  # lanes already b*K major
+                flat_idx = (jnp.arange(b)[:, None] * k + cand_k).reshape(-1)
+                if pool_x.ndim >= 2 and pool_x.shape[0] not in (b * k,):
+                    # [L, B*K, ...]
+                    g_pool = pool_x[:, flat_idx]
+                    g_c = c_x[:, flat_idx]
+                    mask = from_pool.reshape(-1)
+                    mshape = [1, b * k] + [1] * (pool_x.ndim - 2)
+                    return jnp.where(mask.reshape(mshape), g_pool, g_c)
+                g_pool = pool_x[flat_idx]
+                g_c = c_x[flat_idx]
+                mask = from_pool.reshape(-1)
+                mshape = [b * k] + [1] * (pool_x.ndim - 1)
+                return jnp.where(mask.reshape(mshape), g_pool, g_c)
+
+            new_p_scores = top_scores
+            new_p_lens = sel2(p_lens, c_lens)
+            new_p_ps = jnp.where(
+                from_pool, jnp.take_along_axis(p_ps, cand_k, axis=1), s)
+            new_p_pk = jnp.where(
+                from_pool, jnp.take_along_axis(p_pk, cand_k, axis=1),
+                cand_k)
+            new_p_pred = sel_lanes(p_pred, c_pred)
+            new_p_state = jax.tree_util.tree_map(sel_lanes, p_state, c_state)
+            new_p_last = sel_lanes(p_last, c_last)
+            pool = (new_p_scores, new_p_lens, new_p_pred, new_p_state,
+                    new_p_last, new_p_ps, new_p_pk)
+
+            # ---- label expansions -> next micro-step C -----------------
+            lab = lp.at[:, :, blank_id].set(NEG_INF)
+            cand = c_scores[:, :, None] + lab                   # [B, K, V]
+            cand = jnp.where(active[:, None, None], cand, NEG_INF)
+            flat = cand.reshape(b, k * v)
+            e_scores, e_idx = jax.lax.top_k(flat, k)            # [B, K]
+            parent = (e_idx // v).astype(jnp.int32)
+            token = (e_idx % v).astype(jnp.int32)
+
+            flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
+            par_state = jax.tree_util.tree_map(
+                lambda x: x[:, flat_parent] if x.ndim >= 2
+                and x.shape[0] != b * k else x[flat_parent], c_state)
+            new_pred, new_state = pred_fn(token.reshape(-1), par_state)
+
+            new_lens = jnp.take_along_axis(c_lens, parent, axis=1) + 1
+            C = (e_scores, new_lens, new_pred, new_state, token.reshape(-1))
+
+            exp_parents.append(parent)
+            exp_tokens.append(token)
+
+        (p_scores, p_lens, p_pred, p_state, p_last, p_ps, p_pk) = pool
+        out = (jnp.stack(exp_parents), jnp.stack(exp_tokens), p_ps, p_pk)
+        return (p_scores, p_lens, p_pred, p_state, p_last), out
+
+    t_indices = jnp.arange(t_max)
+    enc_tb = jnp.swapaxes(enc, 0, 1)                   # [T, B, D]
+    init = (scores0, lens0, pred_out, state, sos)
+    (scores_f, lens_f, *_), (exp_parent, exp_token, pool_ps, pool_pk) = \
+        jax.lax.scan(frame_step, init, (enc_tb, t_indices))
+
+    return BeamTrace(pool_scores=scores_f, pool_lens=lens_f,
+                     exp_parent=exp_parent, exp_token=exp_token,
+                     pool_parent_s=pool_ps, pool_parent_k=pool_pk)
+
+
+# ---------------------------------------------------------------------------
+def backtrace(trace: BeamTrace, enc_lens: np.ndarray, *,
+              length_penalty: float = 0.0,
+              max_total: int = MAX_TOTAL_TOKENS,
+              n_best: int = 1) -> BeamResult:
+    """Host-side path reconstruction from the device trace."""
+    pool_scores = np.asarray(trace.pool_scores)
+    pool_lens = np.asarray(trace.pool_lens)
+    exp_parent = np.asarray(trace.exp_parent)   # [T, S, B, K]
+    exp_token = np.asarray(trace.exp_token)
+    pool_ps = np.asarray(trace.pool_parent_s)   # [T, B, K]
+    pool_pk = np.asarray(trace.pool_parent_k)
+    enc_lens = np.asarray(enc_lens)
+
+    b, k = pool_scores.shape
+    tokens_out = np.zeros((b, max_total), np.int32)
+    counts = np.zeros((b,), np.int32)
+    best_scores = np.zeros((b,), np.float32)
+    all_nbest: List[List[Tuple[float, List[int]]]] = []
+
+    for i in range(b):
+        t_last = int(enc_lens[i]) - 1
+        # rank hyps with optional length normalization
+        lengths = np.maximum(pool_lens[i], 1)
+        ranked = pool_scores[i] / (lengths ** length_penalty) \
+            if length_penalty > 0 else pool_scores[i]
+        order = np.argsort(-ranked)
+        lane_nbest: List[Tuple[float, List[int]]] = []
+        for rank in range(min(n_best, k)):
+            hyp = int(order[rank])
+            if pool_scores[i, hyp] <= NEG_INF / 2:
+                continue
+            seq: List[int] = []
+            t, kk = t_last, hyp
+            while t >= 0:
+                s = int(pool_ps[t, i, kk])
+                kk2 = int(pool_pk[t, i, kk])
+                # walk micro-steps s..1 collecting emissions
+                while s > 0:
+                    seq.append(int(exp_token[t, s - 1, i, kk2]))
+                    kk2 = int(exp_parent[t, s - 1, i, kk2])
+                    s -= 1
+                kk = kk2
+                t -= 1
+            seq.reverse()
+            lane_nbest.append((float(pool_scores[i, hyp]), seq))
+        if not lane_nbest:
+            lane_nbest.append((float(pool_scores[i, order[0]]), []))
+        all_nbest.append(lane_nbest)
+        score, seq = lane_nbest[0]
+        n = min(len(seq), max_total)
+        tokens_out[i, :n] = seq[:n]
+        counts[i] = n
+        best_scores[i] = score
+
+    return BeamResult(tokens=tokens_out, counts=counts, scores=best_scores,
+                      n_best=all_nbest if n_best > 1 else None)
+
+
+# ---------------------------------------------------------------------------
+def beam_decode_transducer(model, params, enc, enc_lens, *,
+                           beam_width: int = DEFAULT_BEAM_WIDTH,
+                           max_expansions: int = 3,
+                           bias: Optional[jax.Array] = None,
+                           length_penalty: float = 0.0,
+                           n_best: int = 1) -> BeamResult:
+    """Beam search bound to a Transducer model."""
+    cfg = model.config
+    trace = beam_decode(
+        partial(model.predict_step, params),
+        partial(model.joint_step, params),
+        enc, enc_lens, model.init_state(enc.shape[0], dtype=enc.dtype),
+        cfg.blank_id, beam_width=beam_width,
+        max_expansions=max_expansions, bias=bias,
+        vocab_size=cfg.vocab_size)
+    return backtrace(trace, np.asarray(enc_lens),
+                     length_penalty=length_penalty, n_best=n_best)
+
+
+def make_bias_vector(vocab, phrases: List[str], boost: float,
+                     vocab_size: int) -> jnp.ndarray:
+    """Shallow-fusion bias: boost tokens whose surface form appears in any
+    bias phrase (lexicon biasing over vocab.txt — the TPU-side analogue of
+    the k2 backend's decoding-graph parameter)."""
+    bias = np.zeros((vocab_size,), np.float32)
+    norm_phrases = [" " + p.lower().strip() + " " for p in phrases]
+    for tok_id in range(vocab_size):
+        tok = vocab.get_token(tok_id)
+        if not tok:
+            continue
+        surface = tok.replace("▁", " ").lower()
+        if len(surface.strip()) == 0:
+            continue
+        if any(surface in p for p in norm_phrases):
+            bias[tok_id] = boost
+    return jnp.asarray(bias)

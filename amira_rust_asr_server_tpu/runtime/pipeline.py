@@ -192,10 +192,40 @@ class AsrPipeline:
         return res, np.asarray(feat_lens), np.asarray(enc_lens), new_states
 
     # ------------------------------------------------------------------
+    # beam-search decode (ref capability: k2 backend, SURVEY.md §2.3 #24)
+    # ------------------------------------------------------------------
+    def decode_samples_beam(self, samples: np.ndarray, *,
+                            bias=None, n_best: int = 1):
+        """Beam-search decode of one utterance; returns a BeamResult."""
+        from ..ops.beam import beam_decode_transducer
+        cfg = self.config
+        mcfg = self.model.config
+        n = self._bucket_len(samples.shape[0])
+        audio = np.zeros((1, n), np.float32)
+        m = min(samples.shape[0], n)
+        audio[0, :m] = samples[:m]
+        feats, feat_lens = log_mel_features(
+            jnp.asarray(audio), jnp.asarray([m]), n_mels=mcfg.n_mels)
+        enc, enc_lens = self.model.encode(self.params, feats, feat_lens)
+        return beam_decode_transducer(
+            self.model, self.params, enc, enc_lens,
+            beam_width=cfg.beam_width, bias=bias, n_best=n_best), \
+            int(feat_lens[0]), int(enc_lens[0])
+
+    # ------------------------------------------------------------------
     # reference-parity surface (pipeline.rs:21-67)
     # ------------------------------------------------------------------
     def process_batch_samples(self, samples: np.ndarray) -> Transcription:
-        """Full decode of one utterance from f32 samples."""
+        """Full decode of one utterance from f32 samples; decoding mode
+        (greedy|beam) follows config (ref: decoding strategy of the k2
+        backend vs the default greedy path)."""
+        if self.config.decoding_mode == "beam":
+            res, feat_len, enc_len = self.decode_samples_beam(samples)
+            tokens = [int(t) for t in res.tokens[0, :int(res.counts[0])]]
+            return Transcription(
+                text=self.vocab.decode_tokens(tokens), tokens=tokens,
+                audio_length_samples=samples.shape[0],
+                features_length=feat_len, encoded_length=enc_len)
         res, feat_lens, enc_lens, _ = self.decode_samples_batch([samples])
         return self._to_transcription(res, 0, samples.shape[0],
                                       int(feat_lens[0]), int(enc_lens[0]))

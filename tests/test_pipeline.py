@@ -95,3 +95,18 @@ def test_max_total_budget_spans_chunks(pipeline):
 
 def test_warmup_compiles(pipeline):
     assert pipeline.warmup(batch_sizes=[1], secs=[0.5]) == 1
+
+
+def test_beam_mode_pipeline():
+    model = Transducer.from_preset("tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1],
+                 decoding_mode="beam", beam_width=4)
+    p = AsrPipeline(model, params, vocab, cfg)
+    rng = np.random.default_rng(5)
+    samples = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    tr = p.process_batch_samples(samples)
+    assert isinstance(tr.text, str)
+    assert all(0 <= t < 15 for t in tr.tokens)
+    assert tr.encoded_length > 0
