@@ -1,0 +1,167 @@
+"""Continuous batching: multiplex concurrent work onto shared device calls.
+
+The reference's concurrency story is a gRPC connection pool + semaphores —
+every request rides its own Triton round-trips (ref:
+src/triton/pool_optimized.rs, src/async_patterns.rs BatchProcessor). The
+TPU-native replacement is this collector: requests (batch POSTs and
+streaming chunk decodes alike) queue up, a dispatcher packs whatever is
+pending — up to the largest batch bucket, waiting at most
+``batch_window_ms`` for stragglers — into ONE padded device invocation of
+the compiled pipeline, then fans results back out to per-request futures.
+Per-lane carried decoder state rides along, so streams and batch jobs mix
+freely in the same device batch.
+
+Length-aware packing: pending requests are grouped by audio-length bucket
+before dispatch so one short chunk doesn't pad the whole batch to 30 s.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..reliability import get_logger
+from ..types import Transcription
+from .pipeline import AsrPipeline, StreamState
+
+log = get_logger("asr.batcher")
+
+
+class BatcherStats:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.dispatches = 0
+        self.lanes_total = 0
+        self.max_lanes_seen = 0
+
+    def record(self, lanes: int) -> None:
+        with self._lock:
+            self.dispatches += 1
+            self.lanes_total += lanes
+            self.max_lanes_seen = max(self.max_lanes_seen, lanes)
+
+    def to_json(self) -> dict:
+        with self._lock:
+            return {
+                "dispatches": self.dispatches,
+                "lanes_total": self.lanes_total,
+                "mean_lanes": (self.lanes_total / self.dispatches
+                               if self.dispatches else 0.0),
+                "max_lanes": self.max_lanes_seen,
+            }
+
+
+class ContinuousBatcher:
+    """Async collector in front of the compiled pipeline."""
+
+    def __init__(self, pipeline: AsrPipeline, executor,
+                 window_ms: Optional[float] = None,
+                 max_lanes: Optional[int] = None):
+        self.pipeline = pipeline
+        self.executor = executor
+        cfg = pipeline.config
+        self.window_s = (window_ms if window_ms is not None
+                         else cfg.batch_window_ms) / 1e3
+        self.max_lanes = max_lanes or max(cfg.batch_buckets)
+        self.stats = BatcherStats()
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+
+    # ------------------------------------------------------------------
+    async def start(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        self._task = asyncio.create_task(self._run(), name="batcher")
+
+    async def stop(self) -> None:
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    # ------------------------------------------------------------------
+    async def submit(self, samples: np.ndarray,
+                     stream_state: Optional[StreamState] = None
+                     ) -> Tuple[Transcription, StreamState]:
+        """Queue one decode; resolves when its device batch completes."""
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put((samples, stream_state, fut))
+        return await fut
+
+    def submit_from_thread(self, samples: np.ndarray,
+                           stream_state: Optional[StreamState] = None,
+                           timeout: Optional[float] = None
+                           ) -> Tuple[Transcription, StreamState]:
+        """Blocking submit for worker threads (e.g. the incremental
+        streaming sessions running in the session executor)."""
+        assert self._loop is not None, "batcher not started"
+        cfut = asyncio.run_coroutine_threadsafe(
+            self.submit(samples, stream_state), self._loop)
+        return cfut.result(timeout)
+
+    # ------------------------------------------------------------------
+    async def _run(self) -> None:
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            loop = asyncio.get_running_loop()
+            deadline = loop.time() + self.window_s
+            while len(batch) < self.max_lanes:
+                remaining = deadline - loop.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(
+                        self._queue.get(), timeout=remaining))
+                except asyncio.TimeoutError:
+                    break
+            await self._dispatch(batch)
+
+    # ------------------------------------------------------------------
+    def _group_by_bucket(self, batch) -> List[list]:
+        """Split pending work by audio-length bucket so short chunks don't
+        get padded to the longest request's bucket."""
+        groups: dict = {}
+        for item in batch:
+            bucket = self.pipeline._bucket_len(item[0].shape[0])
+            groups.setdefault(bucket, []).append(item)
+        return list(groups.values())
+
+    async def _dispatch(self, batch) -> None:
+        loop = asyncio.get_running_loop()
+        try:
+            groups = self._group_by_bucket(batch)
+        except Exception as e:  # noqa: BLE001 — malformed submission
+            for *_, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        for group in groups:
+            samples = [item[0] for item in group]
+            states = [item[1] for item in group]
+            futures = [item[2] for item in group]
+            try:
+                res, feat_lens, enc_lens, new_states = \
+                    await loop.run_in_executor(
+                        self.executor,
+                        self.pipeline.decode_samples_batch,
+                        samples, states)
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self.stats.record(len(group))
+            for i, fut in enumerate(futures):
+                if fut.done():
+                    continue
+                tr = self.pipeline._to_transcription(
+                    res, i, samples[i].shape[0],
+                    int(feat_lens[i]), int(enc_lens[i]))
+                fut.set_result((tr, new_states[i]))

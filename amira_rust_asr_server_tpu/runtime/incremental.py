@@ -36,8 +36,13 @@ class IncrementalAsr:
                  chunk_size_s: float = C.CHUNK_SIZE_SECONDS,
                  leading_context_s: float = C.LEADING_CONTEXT_SECONDS,
                  trailing_context_s: float = C.TRAILING_CONTEXT_SECONDS,
-                 buffer_capacity_s: float = C.BUFFER_CAPACITY_SECONDS):
+                 buffer_capacity_s: float = C.BUFFER_CAPACITY_SECONDS,
+                 decode_fn=None):
+        """``decode_fn(samples, state) -> (Transcription, state)`` overrides
+        the direct pipeline call — the continuous batcher injects its
+        blocking submit here so concurrent streams share device batches."""
         self.pipeline = pipeline
+        self._decode = decode_fn or pipeline.process_stream_samples
         self.chunk_size_s = chunk_size_s
         self.audio_buffer = OverlappingAudioBuffer(
             int(buffer_capacity_s * C.SAMPLE_RATE), chunk_size_s,
@@ -76,16 +81,14 @@ class IncrementalAsr:
         window = self.audio_buffer.get_window()
 
         if not self.accumulated.token_ids:
-            tr, self.stream_state = self.pipeline.process_stream_samples(
-                window, self.stream_state)
+            tr, self.stream_state = self._decode(window, self.stream_state)
             self.accumulated.token_ids = list(tr.tokens)
             self.accumulated.transcript = tr.text
             return
 
         for source, target, overlap in self.audio_buffer.overlapping_windows():
             chunk = self.audio_buffer.get_slice(source)
-            tr, self.stream_state = self.pipeline.process_stream_samples(
-                chunk, self.stream_state)
+            tr, self.stream_state = self._decode(chunk, self.stream_state)
             self._accumulate(tr, target, overlap)
 
     # ------------------------------------------------------------------

@@ -119,18 +119,26 @@ async def handle_batch(request: web.Request) -> web.Response:
         audio, opaque = parse_batch_request(body)
 
         with request_span("batch", model=request.match_info.get("model")):
-            loop = asyncio.get_running_loop()
-            fut = loop.run_in_executor(
-                state.inference_executor,
-                state.pipeline.process_batch, audio)
             # budget: cold buckets include an XLA compile (~1 min under
             # remote compile) — don't 504 them at the serving timeout
             warm = state.pipeline.is_warm(1, len(audio) // 2)
             budget = (state.config.inference_timeout_secs * 6 if warm
                       else state.config.cold_bucket_timeout_secs)
             async with state.shutdown.guard():
-                tr = await state.breaker.call_async(
-                    asyncio.wait_for(fut, budget))
+                if state.config.decoding_mode == "beam":
+                    # beam requests bypass the greedy batcher
+                    loop = asyncio.get_running_loop()
+                    fut = loop.run_in_executor(
+                        state.inference_executor,
+                        state.pipeline.process_batch, audio)
+                    tr = await state.breaker.call_async(
+                        asyncio.wait_for(fut, budget))
+                else:
+                    from ..audio import pcm16_bytes_to_f32
+                    samples = pcm16_bytes_to_f32(audio)
+                    tr, _ = await state.breaker.call_async(
+                        asyncio.wait_for(
+                            state.batcher.submit(samples), budget))
 
         response = AsrResponse(
             transcription=tr.text, status=StreamStatus.COMPLETE,
@@ -208,6 +216,7 @@ async def metrics_handler(request: web.Request) -> web.Response:
                             content_type="text/plain")
     payload = state.metrics.to_json()
     payload["circuit_breaker"] = state.breaker.stats()
+    payload["batcher"] = state.batcher.stats.to_json()
     return web.json_response(payload)
 
 
@@ -239,6 +248,15 @@ def create_app(state: AppState) -> web.Application:
     app = web.Application(middlewares=[cors_middleware],
                           client_max_size=2 * C.MAX_AUDIO_BYTES)
     app["state"] = state
+
+    async def _start_batcher(app):
+        await state.batcher.start()
+
+    async def _stop_batcher(app):
+        await state.batcher.stop()
+
+    app.on_startup.append(_start_batcher)
+    app.on_cleanup.append(_stop_batcher)
     app.router.add_get("/v2/decode/stream/{model}", handle_stream)
     app.router.add_post("/v2/decode/batch/{model}", handle_batch)
     app.router.add_get("/health", health_check)

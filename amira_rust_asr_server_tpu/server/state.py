@@ -67,6 +67,15 @@ class AppState:
         # event loop (the reference's io/inference runtime split).
         self.inference_executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="device-dispatch")
+        # session threads run per-stream CPU work (weaving, buffering) and
+        # block on the batcher while their chunk rides a shared device
+        # batch — one thread per admissible stream
+        self.session_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.config.max_concurrent_streams + 2,
+            thread_name_prefix="stream-session")
+        from ..runtime.batcher import ContinuousBatcher
+        self.batcher = ContinuousBatcher(pipeline, self.inference_executor)
 
     def close(self) -> None:
         self.inference_executor.shutdown(wait=False, cancel_futures=True)
+        self.session_executor.shutdown(wait=False, cancel_futures=True)

@@ -60,10 +60,14 @@ class StreamProcessor:
         self.state = state
         self.stream_id = stream_id or uuid.uuid4().hex
         cfg = state.config
+        # window decodes go through the continuous batcher so concurrent
+        # streams share device batches (the session thread blocks on the
+        # submit while the dispatcher packs lanes)
         self.incremental = IncrementalAsr(
             state.pipeline, cfg.chunk_size_seconds,
             cfg.leading_context_seconds, cfg.trailing_context_seconds,
-            cfg.buffer_capacity_seconds)
+            cfg.buffer_capacity_seconds,
+            decode_fn=state.batcher.submit_from_thread)
         self.pending = bytearray()  # audio awaiting the partial threshold
         self.last_transcription = ""
         self.is_paused = False
@@ -160,7 +164,7 @@ class StreamProcessor:
         if chunk:
             loop = asyncio.get_running_loop()
             fut = loop.run_in_executor(
-                self.state.inference_executor,
+                self.state.session_executor,
                 self.incremental.process_chunk, chunk)
             budget = (self.state.config.inference_timeout_secs
                       if self.state.pipeline.warmed_up
