@@ -66,6 +66,7 @@ class Config:
     max_lanes: int = 16  # streaming decode lanes resident per chip
     warmup_on_start: bool = True  # precompile bucket programs at startup
     cold_bucket_timeout_secs: float = 180.0  # allowance when XLA compiles
+    use_pallas_mel: bool = True  # fused Pallas log-mel kernel (TPU only)
 
     # Mesh: axis name -> size; empty means single-device (no sharding).
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)

@@ -135,6 +135,27 @@ def joint_step(params: JointParams, enc_frame: jax.Array,
     return hidden @ params["out"]["w"] + params["out"]["b"]
 
 
+def joint_precompute_enc(params: JointParams, enc: jax.Array) -> jax.Array:
+    """Project encoder output once for the whole utterance:
+    [B, T, d_enc] -> [B, T, d_joint].
+
+    The decode loop then only pays pred_proj + out per iteration — the
+    d_enc x d_joint matmul (the joint's largest) moves out of the
+    autoregressive loop into one large MXU-efficient batched matmul.
+    """
+    return jnp.einsum("btd,dj->btj", enc, params["enc_proj"]["w"]) \
+        + params["enc_proj"]["b"]
+
+
+def joint_step_pre(params: JointParams, enc_pre_frame: jax.Array,
+                   pred_out: jax.Array) -> jax.Array:
+    """Joint from a precomputed encoder projection [B, d_joint]."""
+    hidden = jax.nn.relu(
+        enc_pre_frame
+        + pred_out @ params["pred_proj"]["w"] + params["pred_proj"]["b"])
+    return hidden @ params["out"]["w"] + params["out"]["b"]
+
+
 def joint_full(params: JointParams, enc: jax.Array, pred: jax.Array
                ) -> jax.Array:
     """Full lattice for training: [B,T,D] x [B,U,P] -> [B,T,U,V]."""

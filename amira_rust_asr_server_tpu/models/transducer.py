@@ -69,6 +69,16 @@ class Transducer:
                    pred_out: jax.Array) -> jax.Array:
         return joint_step(params["joint"], enc_frame, pred_out)
 
+    def joint_precompute_enc(self, params: Params,
+                             enc: jax.Array) -> jax.Array:
+        from .decoder_joint import joint_precompute_enc
+        return joint_precompute_enc(params["joint"], enc)
+
+    def joint_step_pre(self, params: Params, enc_pre_frame: jax.Array,
+                       pred_out: jax.Array) -> jax.Array:
+        from .decoder_joint import joint_step_pre
+        return joint_step_pre(params["joint"], enc_pre_frame, pred_out)
+
     def joint_full(self, params: Params, enc: jax.Array,
                    pred: jax.Array) -> jax.Array:
         return joint_full(params["joint"], enc, pred)

@@ -287,9 +287,11 @@ def beam_decode_transducer(model, params, enc, enc_lens, *,
                            n_best: int = 1) -> BeamResult:
     """Beam search bound to a Transducer model."""
     cfg = model.config
+    # same enc-projection hoist as the greedy path
+    enc = model.joint_precompute_enc(params, enc)
     trace = beam_decode(
         partial(model.predict_step, params),
-        partial(model.joint_step, params),
+        partial(model.joint_step_pre, params),
         enc, enc_lens, model.init_state(enc.shape[0], dtype=enc.dtype),
         cfg.blank_id, beam_width=beam_width,
         max_expansions=max_expansions, bias=bias,

@@ -72,19 +72,28 @@ def log_mel_features(waveforms: jax.Array, waveforms_lens: jax.Array,
     x = jnp.pad(x, ((0, 0), (pad, 0)), mode="reflect")
     x = jnp.pad(x, ((0, 0), (0, pad)), mode="constant")
 
-    # STFT as frame-gather + one matmul on the MXU. (A strided conv is
-    # mathematically identical but XLA's CPU backend compiles width-512
-    # convs pathologically slowly; the gather/matmul form compiles fast on
-    # both backends and the matmul is the MXU-native part either way.)
-    t_frames = 1 + n // hop_length
-    frame_idx = (jnp.arange(t_frames)[:, None] * hop_length
-                 + jnp.arange(n_fft)[None, :])        # [T, n_fft]
-    frames = x[:, frame_idx]                          # [B, T, n_fft]
+    # STFT via hop-decomposition: the window is zero-extended to 4*hop so
+    # frame t is exactly hop-rows t..t+3 of x reshaped to [rows, hop], and
+    # the [T, 4h] x [4h, K] DFT matmul becomes four shifted [T, h] x [h, K]
+    # matmuls summed — NO gather (a [T, n_fft] frame gather is the
+    # dominant cost of the naive formulation on TPU), and no conv (XLA's
+    # CPU backend compiles width-512 convs pathologically slowly).
     # precision=HIGHEST: the DFT must stay true f32 on the MXU — the
     # default bf16-input path costs ~1e-1 absolute error in log-mel space.
-    spec = jnp.einsum("btn,nk->btk", frames, basis,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # [B, T, 2*n_freqs]
+    t_frames = 1 + n // hop_length
+    assert n_fft <= 4 * hop_length, "window must fit in 4 hops"
+    basis4 = jnp.pad(basis, ((0, 4 * hop_length - n_fft), (0, 0)))
+    need_rows = t_frames + 4
+    total = x.shape[1]
+    if total < need_rows * hop_length:
+        x = jnp.pad(x, ((0, 0), (0, need_rows * hop_length - total)))
+    rows = x[:, :need_rows * hop_length].reshape(b, need_rows, hop_length)
+    spec = sum(
+        jnp.einsum("brh,hk->brk", rows[:, j:j + t_frames],
+                   basis4[j * hop_length:(j + 1) * hop_length],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        for j in range(4))                             # [B, T, 2*n_freqs]
     real, imag = spec[..., :n_freqs], spec[..., n_freqs:]
     power = real * real + imag * imag                 # [B, T, n_freqs]
 

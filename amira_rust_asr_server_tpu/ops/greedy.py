@@ -178,7 +178,10 @@ def greedy_decode_transducer(model, params, enc: jax.Array,
     """
     cfg = model.config
     pred_fn = partial(model.predict_step, params)
-    joint_fn = partial(model.joint_step, params)
+    # hoist the joint's encoder projection out of the loop: one big MXU
+    # matmul up front, then only pred_proj + out per iteration
+    enc = model.joint_precompute_enc(params, enc)
+    joint_fn = partial(model.joint_step_pre, params)
     if carry is None:
         state = model.init_state(enc.shape[0], dtype=enc.dtype)
         pred_out = None

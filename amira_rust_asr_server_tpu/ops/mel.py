@@ -99,3 +99,40 @@ def windowed_dft_basis(n_fft: int = N_FFT, win_length: int = WIN_LENGTH
 def num_frames(n_samples: int, hop_length: int = HOP_LENGTH) -> int:
     """Frame count with center padding: 1 + floor(N / hop)."""
     return 1 + n_samples // hop_length
+
+
+@functools.lru_cache(maxsize=8)
+def hop_dft_basis_padded(n_fft: int = N_FFT, win_length: int = WIN_LENGTH,
+                         hop_length: int = HOP_LENGTH,
+                         lane_pad: int = 384,
+                         row_pad: int = 256) -> np.ndarray:
+    """Windowed DFT basis in hop-row form [4, row_pad, 2*P].
+
+    The window (512) is zero-extended to 4*hop (640) so a frame is exactly
+    4 consecutive hop-rows of the signal reshaped to [N/hop, hop]; each hop
+    row is lane-padded to ``row_pad`` (160 -> 256 = 2x128) and the basis
+    gets matching zero rows, so the STFT becomes
+    ``sum_j rows[j:j+T] @ basis[j]`` with every dimension tile-aligned.
+    Frequencies are zero-padded from n_fft//2+1=257 to ``lane_pad``
+    columns. Layout: [..., :P]=real, [..., P:]=imag.
+    """
+    assert n_fft <= 4 * hop_length
+    base = windowed_dft_basis(n_fft, win_length)  # [n_fft, 2*(n_fft//2+1)]
+    n_freqs = n_fft // 2 + 1
+    full = np.zeros((4 * hop_length, 2 * lane_pad), np.float64)
+    full[:n_fft, :n_freqs] = base[:, :n_freqs]
+    full[:n_fft, lane_pad:lane_pad + n_freqs] = base[:, n_freqs:]
+    out = np.zeros((4, row_pad, 2 * lane_pad), np.float32)
+    for j in range(4):
+        out[j, :hop_length] = full[j * hop_length:(j + 1) * hop_length]
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank_padded(n_mels: int = N_MELS, n_fft: int = N_FFT,
+                          lane_pad: int = 384) -> np.ndarray:
+    """[lane_pad, n_mels] filterbank with zero rows past n_fft//2+1."""
+    fb = mel_filterbank(n_mels, n_fft)
+    out = np.zeros((lane_pad, n_mels), np.float32)
+    out[:fb.shape[0]] = fb
+    return out

@@ -57,15 +57,31 @@ class AsrPipeline:
     def __init__(self, model: Transducer, params, vocab: Vocabulary,
                  config: Optional[Config] = None):
         self.model = model
-        self.params = params
         self.vocab = vocab
         self.config = config or Config()
         cfg = self.config
+        # bf16 serving: params cast once at load; feature extraction stays
+        # f32 (DFT precision), activations run bf16 on the MXU
+        self.compute_dtype = jnp.bfloat16 \
+            if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if self.compute_dtype == jnp.bfloat16:
+            # one jitted cast: per-leaf .astype would dispatch hundreds of
+            # tiny device ops (minutes over a high-latency device link)
+            cast = jax.jit(lambda p: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p))
+            params = cast(params)
+        self.params = params
         self._sec_buckets = sorted(cfg.audio_sec_buckets)
         self._batch_buckets = sorted(cfg.batch_buckets)
         self._lock = threading.Lock()  # jit cache population
         self._compiled: set = set()  # (batch_bucket, len_bucket) seen
         self.warmed_up = False
+        # host staging-buffer pool: one reusable padded array per bucket
+        # (the host-side analogue of the reference's lock-free buffer
+        # pools, ref: src/asr/lockfree_memory.rs — here a simple per-bucket
+        # cache is enough because dispatch is single-threaded)
+        self._staging: dict = {}
         self._fwd = jax.jit(
             self._forward,
             static_argnames=("max_symbols", "max_total"))
@@ -76,15 +92,25 @@ class AsrPipeline:
     def _forward(self, params, audio, audio_lens, state, pred_out,
                  last_token, token_offset, *, max_symbols, max_total):
         mcfg = self.model.config
-        feats, feat_lens = log_mel_features(
-            audio, audio_lens, n_mels=mcfg.n_mels)
-        enc, enc_lens = self.model.encode(params, feats, feat_lens)
+        dt = self.compute_dtype
+        if self.config.use_pallas_mel and jax.default_backend() == "tpu":
+            from ..ops.pallas.mel_kernel import log_mel_features_pallas
+            feats, feat_lens = log_mel_features_pallas(
+                audio, audio_lens, n_mels=mcfg.n_mels)
+        else:
+            feats, feat_lens = log_mel_features(
+                audio, audio_lens, n_mels=mcfg.n_mels)
+        enc, enc_lens = self.model.encode(params, feats.astype(dt),
+                                          feat_lens)
+        # hoist the joint's encoder projection out of the decode loop
+        enc_pre = self.model.joint_precompute_enc(params, enc)
+        state = jax.tree_util.tree_map(lambda x: x.astype(dt), state)
         res = greedy_decode(
             partial(self.model.predict_step, params),
-            partial(self.model.joint_step, params),
-            enc, enc_lens, state, mcfg.blank_id,
+            partial(self.model.joint_step_pre, params),
+            enc_pre, enc_lens, state, mcfg.blank_id,
             max_symbols=max_symbols, max_total=max_total,
-            init_pred_out=pred_out, init_last_token=last_token,
+            init_pred_out=pred_out.astype(dt), init_last_token=last_token,
             token_offset=token_offset)
         return res, feat_lens, enc_lens
 
@@ -144,7 +170,12 @@ class AsrPipeline:
         max_n = max(s.shape[0] for s in samples)
         n = self._bucket_len(max_n)
 
-        audio = np.zeros((b, n), np.float32)
+        audio = self._staging.get((b, n))
+        if audio is None:
+            audio = np.zeros((b, n), np.float32)
+            self._staging[(b, n)] = audio
+        else:
+            audio.fill(0.0)
         lens = np.zeros((b,), np.int32)
         for i, s in enumerate(samples):
             m = min(s.shape[0], n)

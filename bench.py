@@ -48,32 +48,58 @@ def main():
     params["joint"]["out"]["b"] = (
         params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
 
-    def forward(params, audio, audio_lens):
-        feats, feat_lens = log_mel_features(audio, audio_lens,
-                                            n_mels=cfg.n_mels)
-        enc, enc_lens = model.encode(params, feats, feat_lens)
-        res = greedy_decode_transducer(model, params, enc, enc_lens)
-        return res.tokens, res.counts
-
-    fwd = jax.jit(forward)
+    # bench the REAL serving path: the pipeline's jitted bucket program
+    # (bf16 compute, enc-projection hoist, batched greedy while_loop)
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
 
     b, secs = 8, 30.0
     n = int(secs * 16000)
+    import os
+    pcfg = Config(audio_sec_buckets=[secs], batch_buckets=[b],
+                  compute_dtype="bfloat16",
+                  use_pallas_mel=os.environ.get(
+                      "ASR_BENCH_NO_PALLAS") != "1")
+    vocab = Vocabulary.load("/root/reference/model-repo/vocab.txt")
+    pipe = AsrPipeline(model, params, vocab, pcfg)
+
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((b, n)) * 0.1, jnp.float32)
-    lens = jnp.full((b,), n, jnp.int32)
+    waves = [(rng.standard_normal(n) * 0.1).astype(np.float32)
+             for _ in range(b)]
 
     t0 = time.time()
-    tokens, counts = fwd(params, audio, lens)
-    jax.block_until_ready((tokens, counts))
+    res, *_ = pipe.decode_samples_batch(waves)
+    jax.block_until_ready(res.counts)
     log(f"compile+first run: {time.time()-t0:.1f}s; "
-        f"counts={np.asarray(counts).tolist()}")
+        f"counts={np.asarray(res.counts).tolist()}")
 
+    # steady-state: time the compiled program with device-resident inputs.
+    # (This dev box reaches the chip through a network tunnel, so the 15MB
+    # per-call H2D would measure tunnel bandwidth, not the serving path —
+    # on a co-located TPU VM that transfer is PCIe-speed and negligible.)
+    audio_dev = jax.device_put(jnp.asarray(np.stack(waves)))
+    lens_dev = jax.device_put(jnp.full((b,), n, jnp.int32))
+    fresh_out, fresh_state = pipe._fresh_pred()
+    h0 = jax.device_put(jnp.asarray(np.tile(fresh_state[0], (1, b, 1))))
+    c0 = jax.device_put(jnp.asarray(np.tile(fresh_state[1], (1, b, 1))))
+    pred0 = jax.device_put(jnp.asarray(np.tile(fresh_out, (b, 1))))
+    last = jax.device_put(jnp.full((b,), cfg.blank_id, jnp.int32))
+    off = jax.device_put(jnp.zeros((b,), jnp.int32))
+
+    def run_once():
+        r, fl, el = pipe._fwd(
+            pipe.params, audio_dev, lens_dev, (h0, c0), pred0, last, off,
+            max_symbols=pcfg.max_symbols_per_step,
+            max_total=pcfg.max_total_tokens)
+        return r.counts
+
+    jax.block_until_ready(run_once())  # compile this exact signature
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        tokens, counts = fwd(params, audio, lens)
-    jax.block_until_ready((tokens, counts))
+        counts = run_once()
+    jax.block_until_ready(counts)
     wall = (time.time() - t0) / iters
     audio_seconds = b * secs
     rtfx = audio_seconds / wall
