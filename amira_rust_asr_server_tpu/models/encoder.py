@@ -30,13 +30,16 @@ import numpy as np
 from .presets import ModelConfig
 
 
-def _rope(x: jax.Array) -> jax.Array:
-    """Rotary position embedding over the last dim. x: [B, H, T, Dh]."""
+def _rope(x: jax.Array, pos_offset=0) -> jax.Array:
+    """Rotary position embedding over the last dim. x: [B, H, T, Dh];
+    positions are absolute: pos_offset + [0..T) (streaming chunks pass
+    their stream position so chunked == full)."""
     dh = x.shape[-1]
     half = dh // 2
     t = x.shape[-2]
     freqs = 1.0 / (10000.0 ** (np.arange(0, half) / half))
-    angles = jnp.arange(t)[:, None] * jnp.asarray(freqs)[None, :]  # [T, half]
+    positions = pos_offset + jnp.arange(t)
+    angles = positions[:, None] * jnp.asarray(freqs)[None, :]  # [T, half]
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate(
@@ -68,6 +71,8 @@ class MHSA(nn.Module):
 
         mask = pad_mask[:, None, None, :]  # [B, 1, 1, T] keys
         left, right = cfg.att_context
+        if cfg.causal and right < 0:
+            right = 0  # causal mode implies no lookahead
         if left >= 0 or right >= 0:
             qi = jnp.arange(t)[:, None]
             ki = jnp.arange(t)[None, :]
@@ -99,8 +104,10 @@ class ConvModule(nn.Module):
         x = nn.glu(x, axis=-1)
         # zero padded positions so the depthwise conv doesn't smear them in
         x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        pad = ([(cfg.conv_kernel - 1, 0)] if cfg.causal
+               else "SAME")
         x = nn.Conv(features=d, kernel_size=(cfg.conv_kernel,),
-                    feature_group_count=d, padding="SAME", name="dw")(x)
+                    feature_group_count=d, padding=pad, name="dw")(x)
         # per-frame LayerNorm, not BatchNorm/GroupNorm: no running stats, no
         # reduction over the (padded) time axis -> batch-padding invariant
         x = nn.LayerNorm(name="norm")(x)
@@ -147,9 +154,10 @@ class Subsampler(nn.Module):
         n_stages = int(np.log2(cfg.subsampling_factor))
         ch = cfg.subsampling_dim
         lens = lengths
+        pad = [(4, 0)] if cfg.causal else "SAME"
         for i in range(n_stages):
             x = nn.Conv(features=ch, kernel_size=(5,), strides=(2,),
-                        padding="SAME", name=f"conv{i}")(x)
+                        padding=pad, name=f"conv{i}")(x)
             x = nn.silu(x)
             # re-mask each stage: conv bias + silu otherwise turn padding
             # into nonzero values that the next stage's windows read

@@ -31,6 +31,10 @@ class ModelConfig:
     # limited attention context for streaming mode: (left, right) in frames,
     # (-1, -1) = full context
     att_context: Tuple[int, int] = (-1, -1)
+    # causal mode: left-only conv padding + left-only attention — required
+    # for the cache-based streaming encoder (ops/streaming.py) to be
+    # exactly equivalent to the batch forward
+    causal: bool = False
 
     # prediction network
     d_pred: int = DECODER_STATE_SIZE  # LSTM hidden (contract: 640)
