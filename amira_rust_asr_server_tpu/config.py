@@ -71,6 +71,14 @@ class Config:
     # Mesh: axis name -> size; empty means single-device (no sharding).
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
 
+    # -- streaming mode ------------------------------------------------------
+    # "chunked": reference-parity window re-decode + transcript weaving;
+    # "native": cache-based streaming encoder (requires a causal/-streaming
+    # model preset), append-only transcripts, no re-decode
+    streaming_mode: str = "chunked"
+    native_chunk_frames: int = 64    # mel frames per native encoder chunk
+    native_norm: str = "stream"      # "stream" running stats | "none"
+
     # -- chunked streaming (parity, ref: stream.rs:106-109) -----------------
     chunk_size_seconds: float = C.CHUNK_SIZE_SECONDS
     leading_context_seconds: float = C.LEADING_CONTEXT_SECONDS
@@ -151,6 +159,10 @@ class Config:
         if self.decoding_mode not in ("greedy", "beam"):
             raise ConfigValidationError(
                 f"decoding_mode must be greedy|beam: {self.decoding_mode}")
+        if self.streaming_mode not in ("chunked", "native"):
+            raise ConfigValidationError(
+                f"streaming_mode must be chunked|native: "
+                f"{self.streaming_mode}")
         if not (1 <= self.beam_width <= C.MAX_BEAM_WIDTH):
             raise ConfigValidationError(
                 f"beam_width must be in [1, {C.MAX_BEAM_WIDTH}]")

@@ -65,7 +65,16 @@ BASE = ModelConfig(d_model=512, n_layers=8, subsampling_dim=256, d_enc=1024)
 # Flagship: reference-contract dims (conformer-XL-class encoder).
 LARGE = ModelConfig()
 
-PRESETS = {"tiny": TINY, "base": BASE, "large": LARGE}
+# Causal variants for the native streaming mode (cache-based chunked
+# encoder): left-only convs + bounded left attention context.
+TINY_STREAMING = dataclasses.replace(TINY, causal=True, att_context=(8, 0))
+LARGE_STREAMING = dataclasses.replace(LARGE, causal=True,
+                                      att_context=(128, 0))
+
+PRESETS = {
+    "tiny": TINY, "base": BASE, "large": LARGE,
+    "tiny-streaming": TINY_STREAMING, "large-streaming": LARGE_STREAMING,
+}
 
 
 def get_preset(name: str) -> ModelConfig:

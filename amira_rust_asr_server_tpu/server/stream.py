@@ -60,14 +60,44 @@ class StreamProcessor:
         self.state = state
         self.stream_id = stream_id or uuid.uuid4().hex
         cfg = state.config
-        # window decodes go through the continuous batcher so concurrent
-        # streams share device batches (the session thread blocks on the
-        # submit while the dispatcher packs lanes)
-        self.incremental = IncrementalAsr(
-            state.pipeline, cfg.chunk_size_seconds,
-            cfg.leading_context_seconds, cfg.trailing_context_seconds,
-            cfg.buffer_capacity_seconds,
-            decode_fn=state.batcher.submit_from_thread)
+        if (cfg.streaming_mode == "native"
+                and state.pipeline.model.config.causal):
+            # native mode: cache-based streaming encoder, append-only text
+            from ..runtime.native_stream import NativeStreamSession
+
+            class _NativeAdapter:
+                def __init__(self, pipeline):
+                    self.session = NativeStreamSession(
+                        pipeline.model, pipeline.params, pipeline.vocab,
+                        chunk_frames=cfg.native_chunk_frames,
+                        norm=cfg.native_norm,
+                        max_symbols=cfg.max_symbols_per_step,
+                        max_total=cfg.max_total_tokens)
+                    self._samples = 0
+
+                def process_chunk(self, audio_bytes: bytes) -> str:
+                    from ..audio import pcm16_bytes_to_f32
+                    samples = pcm16_bytes_to_f32(audio_bytes)
+                    self._samples += samples.shape[0]
+                    return self.session.feed(samples)
+
+                def finalize(self) -> str:
+                    return self.session.end().text
+
+                def audio_length(self) -> float:
+                    from ..constants import SAMPLE_RATE
+                    return self._samples / SAMPLE_RATE
+
+            self.incremental = _NativeAdapter(state.pipeline)
+        else:
+            # parity mode: window decodes go through the continuous batcher
+            # so concurrent streams share device batches (the session
+            # thread blocks on the submit while the dispatcher packs lanes)
+            self.incremental = IncrementalAsr(
+                state.pipeline, cfg.chunk_size_seconds,
+                cfg.leading_context_seconds, cfg.trailing_context_seconds,
+                cfg.buffer_capacity_seconds,
+                decode_fn=state.batcher.submit_from_thread)
         self.pending = bytearray()  # audio awaiting the partial threshold
         self.last_transcription = ""
         self.is_paused = False
@@ -161,11 +191,17 @@ class StreamProcessor:
         self.pending.clear()
         t0 = time.perf_counter()
 
-        if chunk:
+        if chunk or (is_final and hasattr(self.incremental, "finalize")):
             loop = asyncio.get_running_loop()
-            fut = loop.run_in_executor(
-                self.state.session_executor,
-                self.incremental.process_chunk, chunk)
+            if is_final and hasattr(self.incremental, "finalize"):
+                def work():
+                    if chunk:
+                        self.incremental.process_chunk(chunk)
+                    return self.incremental.finalize()
+            else:
+                def work():
+                    return self.incremental.process_chunk(chunk)
+            fut = loop.run_in_executor(self.state.session_executor, work)
             budget = (self.state.config.inference_timeout_secs
                       if self.state.pipeline.warmed_up
                       else self.state.config.cold_bucket_timeout_secs)

@@ -14,12 +14,21 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# persistent compilation cache: the flagship program takes minutes to
+# compile via the remote compile service; cache hits make reruns instant
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 
 def log(*a):

@@ -228,3 +228,40 @@ def test_ws_stream_capacity_rejection():
         assert msg.type.name in ("CLOSE", "CLOSED")
         state.stream_semaphore._held = 0
     run(with_client(make_state(), go))
+
+
+def make_native_state():
+    model = Transducer.from_preset("tiny-streaming")
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5, 2.0], batch_buckets=[1, 2],
+                 max_symbols_per_step=5, max_total_tokens=50,
+                 streaming_mode="native", native_chunk_frames=16,
+                 native_norm="none")
+    pipeline = AsrPipeline(model, params, vocab, cfg)
+    return AppState(pipeline, vocab, cfg)
+
+
+def test_ws_native_streaming_mode():
+    async def go(client):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        pcm = _pcm_list(n=16000, seed=7)
+        prev = ""
+        for i in range(0, len(pcm), 8000):
+            await ws.send_bytes(pcm[i:i + 8000])
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=60)
+            assert msg["status"] == "ACTIVE"
+            # native transcripts are append-only
+            assert msg["transcription"].startswith(prev)
+            prev = msg["transcription"]
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+        while True:
+            raw = await asyncio.wait_for(ws.receive(), timeout=60)
+            if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                break
+            data = json.loads(raw.data)
+            if data["status"] == "COMPLETE":
+                assert data["transcription"].startswith(prev)
+                break
+        await ws.close()
+    run(with_client(make_native_state(), go))
