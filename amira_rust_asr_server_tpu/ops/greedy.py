@@ -53,6 +53,7 @@ class GreedyResult:
     tokens: jax.Array      # [B, max_total] int32 (undefined past counts)
     counts: jax.Array      # [B] int32
     frame_idx: jax.Array   # [B, max_total] int32
+    confidence: jax.Array  # [B, max_total] f32 softmax prob of each token
     state: Tuple[jax.Array, jax.Array]   # prediction-net (h, c)
     pred_out: jax.Array    # [B, P] last prediction-net output
     last_token: jax.Array  # [B] int32 last emitted (blank if none)
@@ -102,7 +103,7 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
 
     def body(carry):
         (t, counts, sym_in_frame, pred_out, state, last_token, tokens,
-         frame_idx) = carry
+         frame_idx, confs) = carry
 
         active = (t < enc_lens) & (counts < max_total)
         t_safe = jnp.minimum(t, t_max - 1)
@@ -111,6 +112,15 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
 
         logits = joint_fn(enc_frame, pred_out)                 # [B, V]
         k = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B]
+        # per-token confidence: softmax prob of the argmax (one extra
+        # logsumexp on the VPU; the richer result surface the reference
+        # sketches in src/asr/traits.rs TokenInfo)
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)
+        conf = jnp.exp(
+            jnp.take_along_axis(
+                logits.astype(jnp.float32), k[:, None], axis=1)[:, 0]
+            - lse)
 
         forced_advance = sym_in_frame >= max_symbols
         is_blank = (k == blank_id) | forced_advance
@@ -122,6 +132,8 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
             jnp.where(emit, k, tokens[lanes, slot]))
         frame_idx = frame_idx.at[lanes, slot].set(
             jnp.where(emit, t, frame_idx[lanes, slot]))
+        confs = confs.at[lanes, slot].set(
+            jnp.where(emit, conf, confs[lanes, slot]))
         counts = counts + emit.astype(jnp.int32)
         sym_in_frame = jnp.where(emit, sym_in_frame + 1, sym_in_frame)
 
@@ -146,7 +158,7 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
         last_token = jnp.where(emit, k, last_token)
 
         return (t, counts, sym_in_frame, pred_out, state, last_token,
-                tokens, frame_idx)
+                tokens, frame_idx, confs)
 
     init = (
         jnp.zeros((b,), jnp.int32),                  # t
@@ -157,13 +169,14 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
         init_last_token,
         jnp.full((b, max_total), blank_id, jnp.int32),
         jnp.zeros((b, max_total), jnp.int32),
+        jnp.zeros((b, max_total), jnp.float32),
     )
     (t, counts, _, pred_out, state, last_token, tokens,
-     frame_idx) = jax.lax.while_loop(cond, body, init)
+     frame_idx, confs) = jax.lax.while_loop(cond, body, init)
 
     return GreedyResult(tokens=tokens, counts=counts - token_offset,
-                        frame_idx=frame_idx, state=state, pred_out=pred_out,
-                        last_token=last_token)
+                        frame_idx=frame_idx, confidence=confs, state=state,
+                        pred_out=pred_out, last_token=last_token)
 
 
 def greedy_decode_transducer(model, params, enc: jax.Array,

@@ -310,9 +310,18 @@ class AsrPipeline:
     def _to_transcription(self, res: GreedyResult, lane: int,
                           n_samples: int, feat_len: int,
                           enc_len: int) -> Transcription:
+        from ..types import TokenInfo
         count = int(res.counts[lane])
         tokens = [int(t) for t in np.asarray(res.tokens[lane, :count])]
+        frames = np.asarray(res.frame_idx[lane, :count])
+        confs = np.asarray(res.confidence[lane, :count])
+        sec_per_frame = (C.HOP_LENGTH * self.model.config.subsampling_factor
+                         / C.SAMPLE_RATE)
+        details = [
+            TokenInfo(id=tok, time_s=round(float(f) * sec_per_frame, 3),
+                      confidence=round(float(c), 4))
+            for tok, f, c in zip(tokens, frames, confs)]
         return Transcription(
             text=self.vocab.decode_tokens(tokens), tokens=tokens,
             audio_length_samples=n_samples, features_length=feat_len,
-            encoded_length=enc_len)
+            encoded_length=enc_len, token_details=details)

@@ -140,14 +140,19 @@ async def handle_batch(request: web.Request) -> web.Response:
                         asyncio.wait_for(
                             state.batcher.submit(samples), budget))
 
+        metadata = {
+            "audio_length_samples": tr.audio_length_samples,
+            "features_length": tr.features_length,
+            "encoded_length": tr.encoded_length,
+            "tokens": tr.tokens,
+        }
+        if tr.token_details:
+            metadata["token_details"] = [
+                {"id": d.id, "time_s": d.time_s,
+                 "confidence": d.confidence} for d in tr.token_details]
         response = AsrResponse(
             transcription=tr.text, status=StreamStatus.COMPLETE,
-            metadata={
-                "audio_length_samples": tr.audio_length_samples,
-                "features_length": tr.features_length,
-                "encoded_length": tr.encoded_length,
-                "tokens": tr.tokens,
-            }, opaque=opaque)
+            metadata=metadata, opaque=opaque)
         if state.prometheus:
             state.prometheus.observe_request(
                 "batch", "ok", time.perf_counter() - t0,

@@ -82,6 +82,16 @@ class DecoderState:
 
 
 @dataclasses.dataclass
+class TokenInfo:
+    """Per-token detail: timing + confidence (the richer result surface
+    the reference sketches but never wires, ref: src/asr/traits.rs:11-559)."""
+
+    id: int
+    time_s: float
+    confidence: float
+
+
+@dataclasses.dataclass
 class Transcription:
     """Result of transcribing audio (ref: types.rs:214-232)."""
 
@@ -90,6 +100,7 @@ class Transcription:
     audio_length_samples: int
     features_length: int
     encoded_length: int
+    token_details: Optional[List[TokenInfo]] = None
 
 
 @dataclasses.dataclass

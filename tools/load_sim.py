@@ -1,0 +1,118 @@
+"""Serving load simulator: concurrent batch + streaming clients against a
+running server, reporting latency percentiles and batcher efficiency.
+
+Analogue of the reference's connection-pool latency sim
+(ref: src/bin/test_connection_pool.rs) retargeted at what actually matters
+here: how well the continuous batcher packs concurrent work.
+
+    python tools/load_sim.py --host localhost --port 8057 \
+        --batch-clients 8 --stream-clients 4 --duration 30
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+import asyncio
+import base64
+import json
+import time
+
+import numpy as np
+
+
+async def batch_client(session, url, stats, stop, seconds=2.0):
+    rng = np.random.default_rng()
+    while not stop.is_set():
+        pcm = (rng.standard_normal(int(seconds * 16000)) * 3000) \
+            .astype("<i2").tobytes()
+        t0 = time.perf_counter()
+        async with session.post(url, json={
+                "audio_buffer": base64.b64encode(pcm).decode()}) as resp:
+            await resp.json()
+            stats["batch"].append((time.perf_counter() - t0,
+                                   resp.status))
+
+
+async def stream_client(session, url, stats, stop):
+    import aiohttp
+    rng = np.random.default_rng()
+    while not stop.is_set():
+        try:
+            async with session.ws_connect(url) as ws:
+                for _ in range(20):  # 2 s of audio in 100 ms chunks
+                    if stop.is_set():
+                        break
+                    chunk = (rng.standard_normal(1600) * 3000) \
+                        .astype("<i2").tobytes()
+                    t0 = time.perf_counter()
+                    await ws.send_bytes(chunk)
+                    try:
+                        msg = await asyncio.wait_for(ws.receive(),
+                                                     timeout=10)
+                        if msg.type == aiohttp.WSMsgType.TEXT:
+                            stats["partial"].append(
+                                (time.perf_counter() - t0, 200))
+                    except asyncio.TimeoutError:
+                        pass
+                    await asyncio.sleep(0.1)
+                await ws.send_bytes(b"\xff")
+        except Exception:  # noqa: BLE001 — keep hammering
+            await asyncio.sleep(0.5)
+
+
+def pct(xs, q):
+    if not xs:
+        return 0.0
+    return sorted(xs)[min(len(xs) - 1, int(q / 100 * len(xs)))]
+
+
+async def main() -> None:
+    import aiohttp
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8057)
+    parser.add_argument("--batch-clients", type=int, default=8)
+    parser.add_argument("--stream-clients", type=int, default=4)
+    parser.add_argument("--duration", type=float, default=30.0)
+    args = parser.parse_args()
+
+    base = f"http://{args.host}:{args.port}"
+    stats = {"batch": [], "partial": []}
+    stop = asyncio.Event()
+    async with aiohttp.ClientSession() as session:
+        tasks = [
+            asyncio.create_task(batch_client(
+                session, f"{base}/v2/decode/batch/default", stats, stop))
+            for _ in range(args.batch_clients)
+        ] + [
+            asyncio.create_task(stream_client(
+                session, f"{base}/v2/decode/stream/default", stats, stop))
+            for _ in range(args.stream_clients)
+        ]
+        await asyncio.sleep(args.duration)
+        stop.set()
+        await asyncio.gather(*tasks, return_exceptions=True)
+
+        async with session.get(f"{base}/metrics") as resp:
+            metrics = await resp.json()
+
+    lat_b = [x[0] for x in stats["batch"] if x[1] == 200]
+    lat_p = [x[0] for x in stats["partial"]]
+    print(json.dumps({
+        "batch_requests": len(stats["batch"]),
+        "batch_p50_ms": round(pct(lat_b, 50) * 1e3, 1),
+        "batch_p95_ms": round(pct(lat_b, 95) * 1e3, 1),
+        "partials": len(lat_p),
+        "partial_p50_ms": round(pct(lat_p, 50) * 1e3, 1),
+        "partial_p95_ms": round(pct(lat_p, 95) * 1e3, 1),
+        "batcher": metrics.get("batcher"),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    asyncio.run(main())
