@@ -63,6 +63,7 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
                   enc_lens: jax.Array, init_state, blank_id: int,
                   *, max_symbols: int = MAX_SYMBOLS_PER_STEP,
                   max_total: int = MAX_TOTAL_TOKENS,
+                  lookahead: int = 8,
                   init_pred_out: Optional[jax.Array] = None,
                   init_last_token: Optional[jax.Array] = None,
                   token_offset: Optional[jax.Array] = None) -> GreedyResult:
@@ -106,41 +107,66 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
          frame_idx, confs) = carry
 
         active = (t < enc_lens) & (counts < max_total)
-        t_safe = jnp.minimum(t, t_max - 1)
-        enc_frame = jnp.take_along_axis(
-            enc, t_safe[:, None, None], axis=1)[:, 0, :]      # [B, D]
 
-        logits = joint_fn(enc_frame, pred_out)                 # [B, V]
-        k = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B]
-        # per-token confidence: softmax prob of the argmax (one extra
-        # logsumexp on the VPU; the richer result surface the reference
-        # sketches in src/asr/traits.rs TokenInfo)
+        # Frame lookahead: the prediction-net output only changes on an
+        # emission, so the joint can be evaluated for `lookahead` frames
+        # ahead in one shot (weights read once), and a run of blanks is
+        # skipped in a single iteration. Exactly equivalent to the
+        # one-frame loop: greedy's decision at frame t depends only on
+        # (t, pred_out).
+        f = lookahead
+        t_win = t[:, None] + jnp.arange(f)[None, :]            # [B, F]
+        valid = (t_win < enc_lens[:, None])
+        t_win_safe = jnp.minimum(t_win, t_max - 1)
+        enc_win = jnp.take_along_axis(
+            enc, t_win_safe[:, :, None], axis=1)               # [B, F, D]
+
+        logits = joint_fn(
+            enc_win.reshape(b * f, -1),
+            jnp.repeat(pred_out, f, axis=0)).reshape(b, f, -1)  # [B, F, V]
+        k_win = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, F]
+        nonblank = (k_win != blank_id) & valid
+        any_nb = jnp.any(nonblank, axis=1)                     # [B]
+        j = jnp.argmax(nonblank, axis=1).astype(jnp.int32)     # first hit
+
+        # per-token confidence: softmax prob at the emission position
         lse = jax.scipy.special.logsumexp(
-            logits.astype(jnp.float32), axis=-1)
-        conf = jnp.exp(
-            jnp.take_along_axis(
-                logits.astype(jnp.float32), k[:, None], axis=1)[:, 0]
-            - lse)
+            logits.astype(jnp.float32), axis=-1)               # [B, F]
+        k = jnp.take_along_axis(k_win, j[:, None], axis=1)[:, 0]
+        conf_all = jnp.exp(jnp.take_along_axis(
+            logits.astype(jnp.float32), k_win[:, :, None],
+            axis=2)[:, :, 0] - lse)                            # [B, F]
+        conf = jnp.take_along_axis(conf_all, j[:, None], axis=1)[:, 0]
 
-        forced_advance = sym_in_frame >= max_symbols
-        is_blank = (k == blank_id) | forced_advance
-        emit = active & ~is_blank
+        # a lane at its per-frame symbol cap advances one frame instead
+        # (ref: MAX_SYMBOLS_PER_STEP forced advance)
+        forced_advance = active & (sym_in_frame >= max_symbols)
+        emit = active & ~forced_advance & any_nb
+        skip = active & ~forced_advance & ~any_nb
 
         # record emissions
         slot = jnp.clip(counts - token_offset, 0, max_total - 1)
+        emit_frame = t + j
         tokens = tokens.at[lanes, slot].set(
             jnp.where(emit, k, tokens[lanes, slot]))
         frame_idx = frame_idx.at[lanes, slot].set(
-            jnp.where(emit, t, frame_idx[lanes, slot]))
+            jnp.where(emit, emit_frame, frame_idx[lanes, slot]))
         confs = confs.at[lanes, slot].set(
             jnp.where(emit, conf, confs[lanes, slot]))
         counts = counts + emit.astype(jnp.int32)
-        sym_in_frame = jnp.where(emit, sym_in_frame + 1, sym_in_frame)
 
-        # blank (or forced) advances the frame pointer and resets the cap
-        advance = active & is_blank
-        t = t + advance.astype(jnp.int32)
-        sym_in_frame = jnp.where(advance, 0, sym_in_frame)
+        # pointer/cap bookkeeping:
+        # - emit at j: frame moves to t+j; same-frame emission (j=0)
+        #   increments the cap counter, a new frame restarts it at 1
+        # - no nonblank in window: skip past all checked valid frames
+        # - forced advance: one frame, cap reset
+        n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+        t = jnp.where(emit, t + j,
+                      jnp.where(skip, t + n_valid,
+                                t + forced_advance.astype(jnp.int32)))
+        sym_in_frame = jnp.where(
+            emit, jnp.where(j > 0, 1, sym_in_frame + 1),
+            jnp.where(skip | forced_advance, 0, sym_in_frame))
 
         # prediction-net step for emitting lanes (computed for all, merged
         # per lane — batched MXU work either way)
@@ -182,8 +208,8 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
 def greedy_decode_transducer(model, params, enc: jax.Array,
                              enc_lens: jax.Array, *, carry=None,
                              max_symbols: int = MAX_SYMBOLS_PER_STEP,
-                             max_total: int = MAX_TOTAL_TOKENS
-                             ) -> GreedyResult:
+                             max_total: int = MAX_TOTAL_TOKENS,
+                             lookahead: int = 8) -> GreedyResult:
     """Bind :func:`greedy_decode` to a Transducer model.
 
     ``carry`` is a previous GreedyResult (or None) — passing it resumes a
@@ -204,5 +230,5 @@ def greedy_decode_transducer(model, params, enc: jax.Array,
                                        carry.last_token)
     return greedy_decode(
         pred_fn, joint_fn, enc, enc_lens, state, cfg.blank_id,
-        max_symbols=max_symbols, max_total=max_total,
+        max_symbols=max_symbols, max_total=max_total, lookahead=lookahead,
         init_pred_out=pred_out, init_last_token=last_token)

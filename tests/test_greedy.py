@@ -37,7 +37,8 @@ def zero_state(b):
 def test_all_blank_emits_nothing():
     b, t = 3, 6
     enc = jnp.zeros((b, t, 2))
-    joint = lambda e, p: jax.nn.one_hot(jnp.full((b,), BLANK), VOCAB)
+    joint = lambda e, p: jax.nn.one_hot(
+        jnp.full((e.shape[0],), BLANK), VOCAB)
     res = greedy_decode(fake_pred, joint, enc, jnp.full((b,), t),
                         zero_state(b), BLANK)
     np.testing.assert_array_equal(np.asarray(res.counts), [0, 0, 0])
@@ -68,7 +69,8 @@ def test_max_symbols_forces_frame_advance():
     (ref: constants.rs MAX_SYMBOLS_PER_STEP=30, here 3)."""
     b, t = 1, 4
     enc = jnp.zeros((b, t, 2))
-    always_2 = lambda e, p: jax.nn.one_hot(jnp.full((b,), 2), VOCAB)
+    always_2 = lambda e, p: jax.nn.one_hot(
+        jnp.full((e.shape[0],), 2), VOCAB)
     res = greedy_decode(fake_pred, always_2, enc, jnp.array([t]),
                         zero_state(b), BLANK, max_symbols=3, max_total=100)
     assert int(res.counts[0]) == 3 * t
@@ -81,7 +83,8 @@ def test_max_symbols_forces_frame_advance():
 def test_max_total_tokens_cap():
     b, t = 1, 100
     enc = jnp.zeros((b, t, 2))
-    always_1 = lambda e, p: jax.nn.one_hot(jnp.full((b,), 1), VOCAB)
+    always_1 = lambda e, p: jax.nn.one_hot(
+        jnp.full((e.shape[0],), 1), VOCAB)
     res = greedy_decode(fake_pred, always_1, enc, jnp.array([t]),
                         zero_state(b), BLANK, max_symbols=5, max_total=7)
     assert int(res.counts[0]) == 7
@@ -90,7 +93,8 @@ def test_max_total_tokens_cap():
 def test_loop_is_jittable():
     b, t = 2, 5
     enc = jnp.zeros((b, t, 2))
-    joint = lambda e, p: jax.nn.one_hot(jnp.full((b,), BLANK), VOCAB)
+    joint = lambda e, p: jax.nn.one_hot(
+        jnp.full((e.shape[0],), BLANK), VOCAB)
 
     @jax.jit
     def run(enc, lens):
@@ -161,3 +165,25 @@ def test_streaming_carry_equivalence(tiny):
                              np.asarray(second.tokens)[0, :c2]])
     np.testing.assert_array_equal(np.asarray(full.tokens)[0, :c_full],
                                   merged)
+
+
+def test_lookahead_equivalence(tiny):
+    """lookahead=1 (classic label-looping) and lookahead=8 (blank-run
+    skipping) must produce identical results — the lookahead only changes
+    how many frames are *checked* per iteration, not any decision."""
+    model, params = tiny
+    cfg = model.config
+    rng = np.random.default_rng(11)
+    b, t = 3, 20
+    enc = jnp.asarray(rng.standard_normal((b, t, cfg.d_enc)), jnp.float32)
+    lens = jnp.array([20, 13, 7])
+    r1 = greedy_decode_transducer(model, params, enc, lens, lookahead=1)
+    r8 = greedy_decode_transducer(model, params, enc, lens, lookahead=8)
+    np.testing.assert_array_equal(np.asarray(r1.counts),
+                                  np.asarray(r8.counts))
+    np.testing.assert_array_equal(np.asarray(r1.tokens),
+                                  np.asarray(r8.tokens))
+    np.testing.assert_array_equal(np.asarray(r1.frame_idx),
+                                  np.asarray(r8.frame_idx))
+    np.testing.assert_allclose(np.asarray(r1.confidence),
+                               np.asarray(r8.confidence), atol=1e-5)

@@ -97,3 +97,23 @@ def test_data_parallel_inference_sharding(model):
     res_local = greedy_decode_transducer(model, params, enc, jnp.full((b,), t))
     np.testing.assert_array_equal(np.asarray(res_sharded.tokens),
                                   np.asarray(res_local.tokens))
+
+
+def test_tensor_parallel_inference_matches_single(model):
+    """Encoder forward with TP-sharded params (model axis) must equal the
+    unsharded forward — GSPMD inserts the collectives, not the math."""
+    import jax.numpy as jnp
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 1, "model": 4})
+    sharded = shard_params(mesh, params)
+
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(
+        rng.standard_normal((2, model.config.n_mels, 32)), jnp.float32)
+    lens = jnp.array([32, 20])
+
+    enc_ref, lens_ref = model.encode(params, feats, lens)
+    enc_tp, lens_tp = jax.jit(model.encode)(sharded, feats, lens)
+    np.testing.assert_array_equal(np.asarray(lens_ref), np.asarray(lens_tp))
+    np.testing.assert_allclose(np.asarray(enc_ref), np.asarray(enc_tp),
+                               atol=2e-4, rtol=1e-3)
