@@ -67,6 +67,35 @@ class Vocabulary:
                 out.append(tok)
         return "".join(out).strip()
 
+    # -- encoding -----------------------------------------------------------
+    def encode_text(self, text: str) -> List[int]:
+        """Text -> token ids by greedy longest-match over the vocabulary
+        (sentencepiece-style: words get a '▁' prefix). The reference never
+        encodes (inference-only); this supports the training path. Unknown
+        spans fall back to the <unk>/0 id per character.
+        """
+        if not self._token_to_id:
+            return []
+        max_len = max(len(t) for t in self._token_to_id)
+        pieces: List[int] = []
+        words = text.strip().split()
+        for word in words:
+            s = _BPE_SPACE + word
+            i = 0
+            while i < len(s):
+                matched = False
+                for ln in range(min(max_len, len(s) - i), 0, -1):
+                    tok_id = self._token_to_id.get(s[i:i + ln])
+                    if tok_id is not None:
+                        pieces.append(tok_id)
+                        i += ln
+                        matched = True
+                        break
+                if not matched:
+                    pieces.append(0)  # <unk>
+                    i += 1
+        return pieces
+
     # -- lookups ------------------------------------------------------------
     def get_token(self, tok_id: int) -> Optional[str]:
         return self._id_to_token.get(int(tok_id))

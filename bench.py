@@ -63,9 +63,9 @@ def main():
     from amira_rust_asr_server_tpu.runtime import AsrPipeline
     from amira_rust_asr_server_tpu.vocab import Vocabulary
 
-    b, secs = 8, 30.0
+    b = int(os.environ.get("ASR_BENCH_BATCH", "16"))
+    secs = 30.0
     n = int(secs * 16000)
-    import os
     pcfg = Config(audio_sec_buckets=[secs], batch_buckets=[b],
                   compute_dtype="bfloat16",
                   use_pallas_mel=os.environ.get(

@@ -117,3 +117,15 @@ def test_tensor_parallel_inference_matches_single(model):
     np.testing.assert_array_equal(np.asarray(lens_ref), np.asarray(lens_tp))
     np.testing.assert_allclose(np.asarray(enc_ref), np.asarray(enc_tp),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_synthetic_data_pipeline(model):
+    from amira_rust_asr_server_tpu.parallel.data import synthetic_batches
+    gen = synthetic_batches(4, 8000, 8, model.config.vocab_size,
+                            model.config.blank_id)
+    batch = next(gen)
+    assert batch.audio.shape == (4, 8000)
+    assert batch.labels.shape == (4, 8)
+    assert (np.asarray(batch.audio_lens) > 0).all()
+    assert (np.asarray(batch.label_lens) > 0).all()
+    assert (np.asarray(batch.labels) < model.config.blank_id).all()

@@ -37,3 +37,25 @@ def test_load_skips_malformed_lines(tmp_path):
     # token may contain spaces; id is the last field (ref parser behavior)
     assert v.get_token(7) == "multi word token"
     assert len(v) == 2
+
+
+def test_encode_text_roundtrip(vocab_path):
+    v = Vocabulary.load(vocab_path)
+    # "there" = ▁the + re (greedy longest match)
+    ids = v.encode_text("there")
+    assert ids == [5, 6]
+    assert v.decode_tokens(ids) == "there"
+
+
+def test_encode_unknown_chars(vocab_path):
+    v = Vocabulary.load(vocab_path)
+    ids = v.encode_text("zzz")
+    # no pieces match; falls back to <unk>=0 per char (▁ prefix also unk)
+    assert all(i == 0 for i in ids)
+
+
+def test_encode_real_vocab_roundtrip():
+    v = Vocabulary.load("/root/reference/model-repo/vocab.txt")
+    text = "the quick brown fox jumps over the lazy dog"
+    ids = v.encode_text(text)
+    assert v.decode_tokens(ids) == text
