@@ -118,7 +118,11 @@ class Config:
             if key.startswith("AMIRA_"):
                 field = key[len("AMIRA_"):].lower()
                 if field in merged:
-                    merged[field] = _coerce(merged[field], value)
+                    try:
+                        merged[field] = _coerce(merged[field], value)
+                    except (ValueError, TypeError):
+                        raise ConfigValidationError(
+                            f"cannot parse env {key}={value!r}") from None
 
         # Legacy bare env names (config.rs:390-394)
         legacy = {
@@ -129,7 +133,12 @@ class Config:
         }
         for env_key, field in legacy.items():
             if env_key in env:
-                merged[field] = _coerce(merged[field], env[env_key])
+                try:
+                    merged[field] = _coerce(merged[field], env[env_key])
+                except (ValueError, TypeError):
+                    raise ConfigValidationError(
+                        f"cannot parse env {env_key}="
+                        f"{env[env_key]!r}") from None
 
         cfg = cls(**merged)
         cfg.validate()

@@ -52,6 +52,7 @@ class StreamingFeaturizer:
         self._started = False
         self._prev_sample = 0.0
         self._frames_emitted = 0
+        self.samples_fed = 0
         self._stat_n = 0
         self._stat_sum = np.zeros(self.n_mels)
         self._stat_sq = np.zeros(self.n_mels)
@@ -68,6 +69,7 @@ class StreamingFeaturizer:
         """Returns newly available UNNORMALIZED log-mel frames [n, n_mels]
         (normalization applied separately so stats update in one place)."""
         if samples.size:
+            self.samples_fed += int(samples.size)
             pre = self._preemph(samples.astype(np.float32))
             if not self._started:
                 # reflect-pad the stream start like the batch path
@@ -151,7 +153,11 @@ class NativeStreamSession:
         # match the (possibly bf16-cast) parameter dtype throughout
         sample_leaf = jax.tree_util.tree_leaves(params["encoder"])[0]
         self._dtype = sample_leaf.dtype
-        self._encode = jax.jit(partial(encode_chunk, params["encoder"], cfg))
+        # params must be a traced ARGUMENT: closing over them via partial
+        # would bake them into the program as constants (a multi-hundred-MB
+        # HLO for the flagship model)
+        self._encode = jax.jit(
+            lambda p, feats, cache: encode_chunk(p, cfg, feats, cache))
         self.state = NativeStreamState(
             enc_cache=init_encoder_cache(cfg, batch=1, dtype=self._dtype),
             decode_carry=None, tokens=[],
@@ -184,8 +190,8 @@ class NativeStreamSession:
         text = self.feed(np.zeros(0, np.float32), final=True)
         return Transcription(
             text=text, tokens=list(self.state.tokens),
-            audio_length_samples=0, features_length=
-            self.featurizer._frames_emitted,
+            audio_length_samples=self.featurizer.samples_fed,
+            features_length=self.featurizer._frames_emitted,
             encoded_length=int(self.state.enc_cache.pos))
 
     # ------------------------------------------------------------------
@@ -194,7 +200,7 @@ class NativeStreamSession:
         feats = self.featurizer.normalize(chunk)
         feats_dev = jnp.asarray(feats.T[None], self._dtype)  # [1, M, Tc]
         enc, self.state.enc_cache = self._encode(
-            feats_dev, self.state.enc_cache)
+            self.params["encoder"], feats_dev, self.state.enc_cache)
         n_enc = -(-real_frames // cfg.subsampling_factor)
         carry = self.state.decode_carry
         res = self._greedy(enc, jnp.array([n_enc], jnp.int32), carry)
