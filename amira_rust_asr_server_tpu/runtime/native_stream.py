@@ -153,11 +153,25 @@ class NativeStreamSession:
         # match the (possibly bf16-cast) parameter dtype throughout
         sample_leaf = jax.tree_util.tree_leaves(params["encoder"])[0]
         self._dtype = sample_leaf.dtype
-        # params must be a traced ARGUMENT: closing over them via partial
-        # would bake them into the program as constants (a multi-hundred-MB
-        # HLO for the flagship model)
-        self._encode = jax.jit(
-            lambda p, feats, cache: encode_chunk(p, cfg, feats, cache))
+
+        # ONE fused program per chunk: encode-with-cache + carried greedy
+        # in a single dispatch (a per-chunk program switch costs a full
+        # host->device round-trip on high-latency links). params are a
+        # traced ARGUMENT — closing over them would bake the full model
+        # into the HLO as constants.
+        def chunk_step(p, feats, cache, enc_lens, state, pred_out,
+                       last_token):
+            enc, cache2 = encode_chunk(p["encoder"], cfg, feats, cache)
+            res = greedy_decode(
+                partial(model.predict_step, p),
+                partial(model.joint_step_pre, p),
+                model.joint_precompute_enc(p, enc), enc_lens, state,
+                cfg.blank_id, max_symbols=self.max_symbols,
+                max_total=self.max_total, init_pred_out=pred_out,
+                init_last_token=last_token)
+            return cache2, res
+
+        self._step = jax.jit(chunk_step, donate_argnums=(2,))
         self.state = NativeStreamState(
             enc_cache=init_encoder_cache(cfg, batch=1, dtype=self._dtype),
             decode_carry=None, tokens=[],
@@ -199,21 +213,26 @@ class NativeStreamSession:
         cfg = self.model.config
         feats = self.featurizer.normalize(chunk)
         feats_dev = jnp.asarray(feats.T[None], self._dtype)  # [1, M, Tc]
-        enc, self.state.enc_cache = self._encode(
-            self.params["encoder"], feats_dev, self.state.enc_cache)
         n_enc = -(-real_frames // cfg.subsampling_factor)
+
         carry = self.state.decode_carry
-        res = self._greedy(enc, jnp.array([n_enc], jnp.int32), carry)
+        if carry is None:
+            state = self.model.init_state(1, self._dtype)
+            pred_out, state = self.model.predict_step(
+                self.params, jnp.full((1,), cfg.blank_id, jnp.int32),
+                state)
+            last = jnp.full((1,), cfg.blank_id, jnp.int32)
+        else:
+            state, pred_out, last = (carry.state, carry.pred_out,
+                                     carry.last_token)
+
+        self.state.enc_cache, res = self._step(
+            self.params, feats_dev, self.state.enc_cache,
+            jnp.array([n_enc], jnp.int32), state, pred_out, last)
         self.state.decode_carry = res
         n = int(res.counts[0])
         self.state.tokens.extend(
             int(t) for t in np.asarray(res.tokens)[0, :n])
-
-    def _greedy(self, enc, enc_lens, carry):
-        from ..ops.greedy import greedy_decode_transducer
-        return greedy_decode_transducer(
-            self.model, self.params, enc, enc_lens, carry=carry,
-            max_symbols=self.max_symbols, max_total=self.max_total)
 
     def transcript(self) -> str:
         return self.vocab.decode_tokens(self.state.tokens)
