@@ -32,15 +32,26 @@ from .presets import ModelConfig
 
 def _rope(x: jax.Array, pos_offset=0) -> jax.Array:
     """Rotary position embedding over the last dim. x: [B, H, T, Dh];
-    positions are absolute: pos_offset + [0..T) (streaming chunks pass
-    their stream position so chunked == full)."""
+    positions are absolute: pos_offset + [0..T). Streaming chunks pass
+    their stream position so chunked == full; a per-lane [B] offset vector
+    is accepted (batched streaming lanes at different stream positions)."""
     dh = x.shape[-1]
     half = dh // 2
     t = x.shape[-2]
-    freqs = 1.0 / (10000.0 ** (np.arange(0, half) / half))
-    positions = pos_offset + jnp.arange(t)
-    angles = positions[:, None] * jnp.asarray(freqs)[None, :]  # [T, half]
-    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    # angles always in f32: bf16 positions lose integer precision past ~256
+    freqs = jnp.asarray(1.0 / (10000.0 ** (np.arange(0, half) / half)),
+                        jnp.float32)
+    offs = jnp.asarray(pos_offset, jnp.float32)
+    if offs.ndim == 0:
+        positions = offs + jnp.arange(t, dtype=jnp.float32)  # [T]
+        angles = positions[:, None] * freqs[None, :]         # [T, half]
+        cos = jnp.cos(angles).astype(x.dtype)
+        sin = jnp.sin(angles).astype(x.dtype)
+    else:
+        positions = offs[:, None] + jnp.arange(t, dtype=jnp.float32)[None]
+        angles = positions[:, :, None] * freqs[None, None, :]  # [B, T, half]
+        cos = jnp.cos(angles).astype(x.dtype)[:, None, :, :]   # [B,1,T,half]
+        sin = jnp.sin(angles).astype(x.dtype)[:, None, :, :]
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)

@@ -58,7 +58,7 @@ class EncoderCache:
     attn_k: List[jax.Array]       # per layer: [B, H, L, dh] (rope'd)
     attn_v: List[jax.Array]       # per layer: [B, H, L, dh]
     conv_tail: List[jax.Array]    # per layer: [B, k-1, d_model]
-    pos: jax.Array                # [] int32 — encoder frames consumed
+    pos: jax.Array                # [B] int32 — encoder frames consumed
 
 
 def init_encoder_cache(cfg: ModelConfig, batch: int = 1,
@@ -76,7 +76,7 @@ def init_encoder_cache(cfg: ModelConfig, batch: int = 1,
                 for _ in range(cfg.n_layers)],
         conv_tail=[jnp.zeros((batch, cfg.conv_kernel - 1, cfg.d_model),
                              dtype) for _ in range(cfg.n_layers)],
-        pos=jnp.zeros((), jnp.int32),
+        pos=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -98,8 +98,8 @@ def _mhsa_stream(p: Dict, cfg: ModelConfig, x_ln: jax.Array,
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Streaming attention over [cache | chunk] keys.
 
-    x_ln [B, t, d]; k/v_cache [B, H, L, dh]; pos = absolute index of the
-    chunk's first frame. Returns (out [B, t, d], new k/v caches).
+    x_ln [B, t, d]; k/v_cache [B, H, L, dh]; pos [B] = per-lane absolute
+    index of the chunk's first frame. Returns (out, new k/v caches).
     """
     b, t, d = x_ln.shape
     h = cfg.n_heads
@@ -121,10 +121,11 @@ def _mhsa_stream(p: Dict, cfg: ModelConfig, x_ln: jax.Array,
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.asarray(dh, scores.dtype))
 
-    q_pos = pos + jnp.arange(t)[:, None]            # [t, 1]
-    k_pos = (pos - left) + jnp.arange(left + t)[None, :]
+    q_pos = pos[:, None, None] + jnp.arange(t)[None, :, None]  # [B,t,1]
+    k_pos = (pos[:, None, None] - left
+             + jnp.arange(left + t)[None, None, :])            # [B,1,L+t]
     mask = (k_pos >= 0) & (k_pos <= q_pos) & (q_pos - k_pos <= left)
-    scores = jnp.where(mask[None, None], scores,
+    scores = jnp.where(mask[:, None], scores,
                        jnp.asarray(-1e9, scores.dtype))
     attn = jax.nn.softmax(scores, axis=-1).astype(x_ln.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, vals,

@@ -1,0 +1,225 @@
+"""Batched native streaming: a fixed pool of lanes sharing ONE fused
+chunk-step program.
+
+Single-stream native sessions dispatch one device program per stream per
+chunk; at scale that wastes both dispatch overhead and MXU occupancy
+(a [1, ...] chunk leaves the systolic array mostly idle). This engine is
+the continuous-batching counterpart for the native streaming mode
+(BASELINE config #4 applied to streams): L lanes of encoder cache +
+decode carry live batched in HBM, and one jitted step advances every lane
+that has a full mel chunk — lanes without work ride along masked
+(their caches and decode state are select-preserved).
+
+Capacity math (flagship, 64-frame chunks): one fused step is ~2-3 ms of
+device compute for 8 lanes; a real-time stream produces a chunk every
+640 ms, so a chip sustains O(100) concurrent real-time streams.
+
+Lifecycle: ``attach() -> lane``, ``feed(lane, samples)``,
+``tick() -> {lane: new tokens}``, ``finish(lane)``, ``detach(lane)``.
+The server drives ``tick`` from its device-dispatch executor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..models.transducer import Transducer
+from ..ops.greedy import greedy_decode
+from ..ops.streaming import encode_chunk, init_encoder_cache
+from ..vocab import Vocabulary
+from .native_stream import StreamingFeaturizer
+
+
+class StreamingLaneEngine:
+    def __init__(self, model: Transducer, params, vocab: Vocabulary,
+                 n_lanes: int = 8, chunk_frames: int = 64,
+                 norm: str = "stream",
+                 max_symbols: int = C.MAX_SYMBOLS_PER_STEP,
+                 max_total: int = C.MAX_TOTAL_TOKENS):
+        cfg = model.config
+        assert cfg.causal, "lane engine requires a causal model preset"
+        assert chunk_frames % cfg.subsampling_factor == 0
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.cfg = cfg
+        self.n_lanes = n_lanes
+        self.chunk_frames = chunk_frames
+        self.norm = norm
+        leaf = jax.tree_util.tree_leaves(params["encoder"])[0]
+        self._dtype = leaf.dtype
+
+        # batched device state
+        self.enc_cache = init_encoder_cache(cfg, n_lanes, self._dtype)
+        state = model.init_state(n_lanes, self._dtype)
+        pred0, state = model.predict_step(
+            params, jnp.full((n_lanes,), cfg.blank_id, jnp.int32), state)
+        self.dec_state = state
+        self.pred_out = pred0
+        self.last_token = jnp.full((n_lanes,), cfg.blank_id, jnp.int32)
+        self._fresh = (jax.tree_util.tree_map(jnp.copy, state),
+                       jnp.copy(pred0))
+
+        # host-side per-lane session state
+        self.featurizers: List[Optional[StreamingFeaturizer]] = \
+            [None] * n_lanes
+        self.backlogs: List[np.ndarray] = [
+            np.zeros((0, cfg.n_mels), np.float32) for _ in range(n_lanes)]
+        self.tokens: List[List[int]] = [[] for _ in range(n_lanes)]
+        self.finishing: List[bool] = [False] * n_lanes
+
+        def step(p, feats, active, enc_lens, cache, state, pred_out,
+                 last_token):
+            """feats [L, M, Tc]; active [L] bool; enc_lens [L] = real
+            encoder frames to decode this chunk (0 for inactive, partial
+            for a final chunk). Inactive lanes keep all state
+            bit-identical (masked select)."""
+            enc, cache2 = encode_chunk(p["encoder"], cfg, feats, cache)
+
+            def keep(new, old):
+                shape = [1] * new.ndim
+                # cache leaves are [L, ...]; pos is [L]
+                shape[0] = active.shape[0]
+                return jnp.where(active.reshape(shape), new, old)
+
+            cache2 = jax.tree_util.tree_map(keep, cache2, cache)
+            res = greedy_decode(
+                partial(model.predict_step, p),
+                partial(model.joint_step_pre, p),
+                model.joint_precompute_enc(p, enc), enc_lens, state,
+                cfg.blank_id, max_symbols=max_symbols,
+                max_total=max_total, init_pred_out=pred_out,
+                init_last_token=last_token)
+            return cache2, res
+
+        self._step = jax.jit(step, donate_argnums=(4,))
+        self._max_total = max_total
+        self._max_symbols = max_symbols
+
+    # ------------------------------------------------------------------
+    # lane lifecycle
+    # ------------------------------------------------------------------
+    def attach(self) -> Optional[int]:
+        """Claim a free lane; None when all lanes are busy."""
+        for lane in range(self.n_lanes):
+            if self.featurizers[lane] is None:
+                self.featurizers[lane] = StreamingFeaturizer(
+                    self.cfg.n_mels, self.norm)
+                self.backlogs[lane] = np.zeros((0, self.cfg.n_mels),
+                                               np.float32)
+                self.tokens[lane] = []
+                self.finishing[lane] = False
+                self._reset_lane_device_state(lane)
+                return lane
+        return None
+
+    def detach(self, lane: int) -> None:
+        self.featurizers[lane] = None
+        self.finishing[lane] = False
+
+    def _reset_lane_device_state(self, lane: int) -> None:
+        """Zero one lane's device state (host-side surgical update; rare:
+        only on attach)."""
+        fresh_cache = init_encoder_cache(self.cfg, 1, self._dtype)
+
+        def put(batched, fresh):
+            arr = np.array(batched)
+            arr[lane if arr.ndim == 1 else slice(lane, lane + 1)] = \
+                np.asarray(fresh)[0] if arr.ndim == 1 else np.asarray(fresh)
+            return jnp.asarray(arr)
+
+        self.enc_cache = jax.tree_util.tree_map(
+            lambda b, f: put(b, f), self.enc_cache, fresh_cache)
+        fresh_state, fresh_pred = self._fresh
+        h = np.array(self.dec_state[0])
+        c = np.array(self.dec_state[1])
+        h[:, lane] = np.asarray(fresh_state[0])[:, lane]
+        c[:, lane] = np.asarray(fresh_state[1])[:, lane]
+        self.dec_state = (jnp.asarray(h), jnp.asarray(c))
+        p = np.array(self.pred_out)
+        p[lane] = np.asarray(fresh_pred)[lane]
+        self.pred_out = jnp.asarray(p)
+        lt = np.array(self.last_token)
+        lt[lane] = self.cfg.blank_id
+        self.last_token = jnp.asarray(lt)
+
+    # ------------------------------------------------------------------
+    def feed(self, lane: int, samples: np.ndarray,
+             final: bool = False) -> None:
+        feat = self.featurizers[lane]
+        assert feat is not None, f"lane {lane} not attached"
+        new = feat.feed(samples, final=final)
+        if new.shape[0]:
+            self.backlogs[lane] = np.concatenate(
+                [self.backlogs[lane], new], axis=0)
+        if final:
+            self.finishing[lane] = True
+
+    def lane_ready(self, lane: int) -> bool:
+        if self.featurizers[lane] is None:
+            return False
+        n = self.backlogs[lane].shape[0]
+        return n >= self.chunk_frames or (self.finishing[lane] and n > 0)
+
+    def pending(self) -> List[int]:
+        return [i for i in range(self.n_lanes) if self.lane_ready(i)]
+
+    # ------------------------------------------------------------------
+    def tick(self) -> Dict[int, List[int]]:
+        """Advance every ready lane one chunk; returns new tokens per lane.
+        No-op (empty dict) when nothing is ready."""
+        ready = self.pending()
+        if not ready:
+            return {}
+        m = self.cfg.n_mels
+        tc = self.chunk_frames
+        feats = np.zeros((self.n_lanes, m, tc), np.float32)
+        active = np.zeros((self.n_lanes,), bool)
+        enc_lens = np.zeros((self.n_lanes,), np.int32)
+        sub = self.cfg.subsampling_factor
+        for lane in ready:
+            chunk = self.backlogs[lane][:tc]
+            real = chunk.shape[0]
+            self.backlogs[lane] = self.backlogs[lane][real:]
+            chunk = self.featurizers[lane].normalize(chunk)
+            if real < tc:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((tc - real, m), np.float32)])
+            feats[lane] = chunk.T
+            active[lane] = True
+            enc_lens[lane] = -(-real // sub)  # only real frames decode
+
+        cache2, res = self._step(
+            self.params, jnp.asarray(feats, self._dtype),
+            jnp.asarray(active), jnp.asarray(enc_lens), self.enc_cache,
+            self.dec_state, self.pred_out, self.last_token)
+        self.enc_cache = cache2
+        self.dec_state = res.state
+        self.pred_out = res.pred_out
+        self.last_token = res.last_token
+
+        out: Dict[int, List[int]] = {}
+        counts = np.asarray(res.counts)
+        toks = np.asarray(res.tokens)
+        for lane in ready:
+            n = int(counts[lane])
+            new = [int(t) for t in toks[lane, :n]]
+            self.tokens[lane].extend(new)
+            out[lane] = new
+        return out
+
+    # ------------------------------------------------------------------
+    def transcript(self, lane: int) -> str:
+        return self.vocab.decode_tokens(self.tokens[lane])
+
+    def drain(self, lane: int) -> str:
+        """Run ticks until the lane's backlog empties (after a final feed)."""
+        while self.lane_ready(lane):
+            self.tick()
+        return self.transcript(lane)

@@ -206,7 +206,7 @@ class NativeStreamSession:
             text=text, tokens=list(self.state.tokens),
             audio_length_samples=self.featurizer.samples_fed,
             features_length=self.featurizer._frames_emitted,
-            encoded_length=int(self.state.enc_cache.pos))
+            encoded_length=int(self.state.enc_cache.pos[0]))
 
     # ------------------------------------------------------------------
     def _process_chunk(self, chunk: np.ndarray, real_frames: int) -> None:

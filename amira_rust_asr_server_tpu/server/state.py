@@ -76,6 +76,23 @@ class AppState:
         from ..runtime.batcher import ContinuousBatcher
         self.batcher = ContinuousBatcher(pipeline, self.inference_executor)
 
+        # native streaming mode: one shared lane engine batches all
+        # concurrent streams into a single fused chunk-step program
+        self.lane_engine = None
+        self.lane_lock = None
+        if (self.config.streaming_mode == "native"
+                and pipeline.model.config.causal):
+            import threading
+            from ..runtime.lane_engine import StreamingLaneEngine
+            self.lane_engine = StreamingLaneEngine(
+                pipeline.model, pipeline.params, vocab,
+                n_lanes=self.config.max_lanes,
+                chunk_frames=self.config.native_chunk_frames,
+                norm=self.config.native_norm,
+                max_symbols=self.config.max_symbols_per_step,
+                max_total=self.config.max_total_tokens)
+            self.lane_lock = threading.Lock()
+
     def close(self) -> None:
         self.inference_executor.shutdown(wait=False, cancel_futures=True)
         self.session_executor.shutdown(wait=False, cancel_futures=True)

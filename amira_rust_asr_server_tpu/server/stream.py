@@ -23,6 +23,8 @@ import time
 import uuid
 from typing import Optional
 
+import numpy as np
+
 from aiohttp import WSMsgType, web
 
 from .. import constants as C
@@ -53,6 +55,73 @@ class RateLimiter:
         return self._count <= self.max_messages
 
 
+class _LaneAdapter:
+    """Bridges one WS session onto the shared StreamingLaneEngine.
+
+    Falls back to a dedicated NativeStreamSession when all lanes are busy
+    (admission control at the stream semaphore usually prevents this).
+    Engine access is serialized by state.lane_lock; a tick processes ALL
+    ready lanes, so concurrent streams batch naturally.
+    """
+
+    def __init__(self, state: AppState):
+        from ..runtime.native_stream import NativeStreamSession
+
+        self.state = state
+        self.engine = state.lane_engine
+        self.lock = state.lane_lock
+        self._samples = 0
+        self.session = None
+        with self.lock:
+            self.lane = self.engine.attach()
+        if self.lane is None:
+            cfg = state.config
+            self.session = NativeStreamSession(
+                state.pipeline.model, state.pipeline.params,
+                state.pipeline.vocab,
+                chunk_frames=cfg.native_chunk_frames,
+                norm=cfg.native_norm,
+                max_symbols=cfg.max_symbols_per_step,
+                max_total=cfg.max_total_tokens)
+
+    def _feed(self, samples, final: bool) -> str:
+        if self.session is not None:
+            if final:
+                return self.session.end().text
+            return self.session.feed(samples)
+        with self.lock:
+            self.engine.feed(self.lane, samples, final=final)
+            if final:
+                return self.engine.drain(self.lane)
+            self.engine.tick()
+            return self.engine.transcript(self.lane)
+
+    def process_chunk(self, audio_bytes: bytes) -> str:
+        from ..audio import pcm16_bytes_to_f32
+        samples = pcm16_bytes_to_f32(audio_bytes)
+        self._samples += samples.shape[0]
+        return self._feed(samples, final=False)
+
+    def finalize(self) -> str:
+        text = self._feed(np.zeros(0, np.float32), final=True)
+        if self.lane is not None:
+            with self.lock:
+                self.engine.detach(self.lane)
+            self.lane = None
+        return text
+
+    def audio_length(self) -> float:
+        from ..constants import SAMPLE_RATE
+        return self._samples / SAMPLE_RATE
+
+    def release(self) -> None:
+        """Cleanup for streams that end without a final drain."""
+        if self.lane is not None:
+            with self.lock:
+                self.engine.detach(self.lane)
+            self.lane = None
+
+
 class StreamProcessor:
     def __init__(self, ws: web.WebSocketResponse, state: AppState,
                  stream_id: Optional[str] = None):
@@ -62,33 +131,10 @@ class StreamProcessor:
         cfg = state.config
         if (cfg.streaming_mode == "native"
                 and state.pipeline.model.config.causal):
-            # native mode: cache-based streaming encoder, append-only text
-            from ..runtime.native_stream import NativeStreamSession
-
-            class _NativeAdapter:
-                def __init__(self, pipeline):
-                    self.session = NativeStreamSession(
-                        pipeline.model, pipeline.params, pipeline.vocab,
-                        chunk_frames=cfg.native_chunk_frames,
-                        norm=cfg.native_norm,
-                        max_symbols=cfg.max_symbols_per_step,
-                        max_total=cfg.max_total_tokens)
-                    self._samples = 0
-
-                def process_chunk(self, audio_bytes: bytes) -> str:
-                    from ..audio import pcm16_bytes_to_f32
-                    samples = pcm16_bytes_to_f32(audio_bytes)
-                    self._samples += samples.shape[0]
-                    return self.session.feed(samples)
-
-                def finalize(self) -> str:
-                    return self.session.end().text
-
-                def audio_length(self) -> float:
-                    from ..constants import SAMPLE_RATE
-                    return self._samples / SAMPLE_RATE
-
-            self.incremental = _NativeAdapter(state.pipeline)
+            # native mode: all streams share the lane engine — one fused
+            # chunk-step program advances every ready lane per tick, and
+            # whichever session thread ticks first carries its peers' work
+            self.incremental = _LaneAdapter(state)
         else:
             # parity mode: window decodes go through the continuous batcher
             # so concurrent streams share device batches (the session
@@ -154,6 +200,8 @@ class StreamProcessor:
             except Exception as e:  # noqa: BLE001
                 log.error("stream %s final drain failed: %s",
                           self.stream_id, e)
+        if hasattr(self.incremental, "release"):
+            self.incremental.release()  # free the engine lane
 
     # ------------------------------------------------------------------
     async def handle_audio_chunk(self, data: bytes) -> bool:

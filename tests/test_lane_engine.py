@@ -1,0 +1,121 @@
+"""Batched native streaming lane engine: per-lane equivalence with the
+single-stream session, concurrent independence, lane reuse."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from amira_rust_asr_server_tpu.models import Transducer
+from amira_rust_asr_server_tpu.models.presets import TINY
+from amira_rust_asr_server_tpu.runtime.lane_engine import StreamingLaneEngine
+from amira_rust_asr_server_tpu.runtime.native_stream import (
+    NativeStreamSession)
+from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(TINY, causal=True, att_context=(8, 0))
+    model = Transducer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params["joint"]["out"]["b"] = (
+        params["joint"]["out"]["b"].at[cfg.blank_id].add(2.0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+    return model, params, vocab
+
+
+def _wave(seed, n=16000):
+    return (np.random.default_rng(seed).standard_normal(n) * 0.3
+            ).astype(np.float32)
+
+
+def solo_tokens(model, params, vocab, wave):
+    sess = NativeStreamSession(model, params, vocab, chunk_frames=16,
+                               norm="none")
+    sess.feed(wave)
+    return sess.end().tokens
+
+
+def test_single_lane_matches_solo_session(setup):
+    model, params, vocab = setup
+    wave = _wave(0)
+    want = solo_tokens(model, params, vocab, wave)
+
+    eng = StreamingLaneEngine(model, params, vocab, n_lanes=4,
+                              chunk_frames=16, norm="none")
+    lane = eng.attach()
+    assert lane == 0
+    for i in range(0, wave.shape[0], 3200):
+        eng.feed(lane, wave[i:i + 3200])
+        eng.tick()
+    eng.feed(lane, np.zeros(0, np.float32), final=True)
+    eng.drain(lane)
+    assert eng.tokens[lane] == want
+
+
+def test_concurrent_lanes_independent(setup):
+    model, params, vocab = setup
+    waves = [_wave(s) for s in (1, 2, 3)]
+    wants = [solo_tokens(model, params, vocab, w) for w in waves]
+
+    eng = StreamingLaneEngine(model, params, vocab, n_lanes=4,
+                              chunk_frames=16, norm="none")
+    lanes = [eng.attach() for _ in waves]
+    # interleave feeds; lanes advance together in shared ticks
+    for i in range(0, 16000, 3200):
+        for lane, w in zip(lanes, waves):
+            eng.feed(lane, w[i:i + 3200])
+        eng.tick()
+    for lane in lanes:
+        eng.feed(lane, np.zeros(0, np.float32), final=True)
+        eng.drain(lane)
+    for lane, want in zip(lanes, wants):
+        assert eng.tokens[lane] == want
+
+
+def test_staggered_start_and_lane_reuse(setup):
+    model, params, vocab = setup
+    w1, w2 = _wave(4), _wave(5)
+    want1 = solo_tokens(model, params, vocab, w1)
+    want2 = solo_tokens(model, params, vocab, w2)
+
+    eng = StreamingLaneEngine(model, params, vocab, n_lanes=2,
+                              chunk_frames=16, norm="none")
+    a = eng.attach()
+    eng.feed(a, w1[:8000])
+    eng.tick()
+    # second stream arrives mid-flight of the first
+    b = eng.attach()
+    eng.feed(b, w2[:8000])
+    eng.feed(a, w1[8000:])
+    eng.tick()
+    eng.feed(b, w2[8000:])
+    eng.feed(a, np.zeros(0, np.float32), final=True)
+    eng.drain(a)
+    eng.feed(b, np.zeros(0, np.float32), final=True)
+    eng.drain(b)
+    assert eng.tokens[a] == want1
+    assert eng.tokens[b] == want2
+
+    # detach + reattach reuses the lane with fresh state
+    toks_a = list(eng.tokens[a])
+    eng.detach(a)
+    a2 = eng.attach()
+    assert a2 == a
+    eng.feed(a2, w1)
+    eng.feed(a2, np.zeros(0, np.float32), final=True)
+    eng.drain(a2)
+    assert eng.tokens[a2] == want1 == toks_a
+
+
+def test_capacity_exhaustion(setup):
+    model, params, vocab = setup
+    eng = StreamingLaneEngine(model, params, vocab, n_lanes=2,
+                              chunk_frames=16, norm="none")
+    assert eng.attach() == 0
+    assert eng.attach() == 1
+    assert eng.attach() is None
+    eng.detach(0)
+    assert eng.attach() == 0

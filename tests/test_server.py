@@ -265,3 +265,37 @@ def test_ws_native_streaming_mode():
                 break
         await ws.close()
     run(with_client(make_native_state(), go))
+
+
+def test_ws_native_concurrent_streams_share_lanes():
+    async def go(client):
+        state = client.app["state"]
+        assert state.lane_engine is not None
+
+        async def one_stream(seed):
+            ws = await client.ws_connect("/v2/decode/stream/default")
+            pcm = _pcm_list(n=16000, seed=seed)
+            texts = []
+            for i in range(0, len(pcm), 8000):
+                await ws.send_bytes(pcm[i:i + 8000])
+                msg = await asyncio.wait_for(ws.receive_json(), timeout=60)
+                texts.append(msg["transcription"])
+            await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+            final = None
+            while True:
+                raw = await asyncio.wait_for(ws.receive(), timeout=60)
+                if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                    break
+                data = json.loads(raw.data)
+                if data["status"] == "COMPLETE":
+                    final = data["transcription"]
+                    break
+            await ws.close()
+            return final
+
+        finals = await asyncio.gather(one_stream(11), one_stream(12),
+                                      one_stream(13))
+        assert all(f is not None for f in finals)
+        # lanes were released on finalize
+        assert all(f is None for f in state.lane_engine.featurizers)
+    run(with_client(make_native_state(), go))

@@ -76,10 +76,10 @@ def test_cache_pos_advances(causal_tiny):
     cfg = model.config
     rng = np.random.default_rng(2)
     cache = init_encoder_cache(cfg, batch=1)
-    assert int(cache.pos) == 0
+    assert int(cache.pos[0]) == 0
     _, cache = encode_chunk(params["encoder"], cfg,
                             _feats(rng, 16, cfg.n_mels), cache)
-    assert int(cache.pos) == 4  # 16 mel frames / subsampling 4
+    assert int(cache.pos[0]) == 4  # 16 mel frames / subsampling 4
 
 
 def test_streaming_end_to_end_greedy(causal_tiny):
