@@ -17,7 +17,6 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import N_MELS
 from .decoder_joint import (init_joint_params, init_pred_params,
                             init_pred_state, joint_full, joint_step,
                             pred_forward, pred_step)

@@ -33,14 +33,13 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import (DEFAULT_BEAM_WIDTH, MAX_SYMBOLS_PER_STEP,
-                         MAX_TOTAL_TOKENS)
+from ..constants import DEFAULT_BEAM_WIDTH, MAX_TOTAL_TOKENS
 
 NEG_INF = -1e30
 

@@ -24,8 +24,6 @@ Supports variable T (enc_lens) and U (label_lens) via gather-at-ends.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import wave
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import numpy as np
 

@@ -18,8 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import Transducer
 from ..ops import log_mel_features
 from ..ops.rnnt_loss import transducer_loss
-from .mesh import (DATA_AXIS, data_sharding, make_param_shardings,
-                   replicated, shard_params)
+from .mesh import data_sharding, replicated, shard_params
 
 
 class TrainBatch(NamedTuple):

@@ -18,7 +18,7 @@ state resident and does not re-decode windows (see stream sessions).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -19,10 +19,8 @@ from __future__ import annotations
 import asyncio
 import base64
 import json
-import uuid
 from typing import Any, Optional
 
-import numpy as np
 from aiohttp import web
 
 from .. import constants as C

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import platform as _platform
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 from ..config import Config
 from ..reliability import get_logger
