@@ -1,0 +1,140 @@
+"""Hardware acceptance test: runs the numerical invariants that interpret
+mode and the CPU mesh cannot prove, ON the real chip.
+
+    python tools/tpu_selfcheck.py [--preset tiny]
+
+Checks:
+  1. Pallas fused log-mel == XLA mel path (compiled, not interpreted)
+  2. greedy lookahead=8 == lookahead=1 on-device
+  3. streaming chunked encoder == batch causal forward on-device
+  4. pipeline smoke: bytes -> text, deterministic across calls
+
+Exits nonzero on any failure — wire into deploy pipelines before serving.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def check(name: str, fn) -> bool:
+    t0 = time.time()
+    try:
+        fn()
+        print(f"  PASS {name} ({time.time()-t0:.1f}s)")
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"  FAIL {name}: {e}")
+        return False
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="tiny")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})")
+    if dev.platform == "cpu":
+        print("WARNING: running on CPU — this validates semantics only")
+
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.models import Transducer, get_preset
+    from amira_rust_asr_server_tpu.ops import log_mel_features
+    from amira_rust_asr_server_tpu.ops.greedy import greedy_decode_transducer
+    from amira_rust_asr_server_tpu.ops.pallas.mel_kernel import (
+        log_mel_features_pallas)
+    from amira_rust_asr_server_tpu.ops.streaming import (encode_chunk,
+                                                         init_encoder_cache)
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+    rng = np.random.default_rng(0)
+    ok = True
+
+    # 1. pallas mel vs xla mel -------------------------------------------
+    def mel_check():
+        n = 48000
+        w = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+        lens = np.array([n, n - 8000])
+        interp = dev.platform == "cpu"
+        got, gl = log_mel_features_pallas(w, lens, interpret=interp)
+        ref, rl = log_mel_features(w, lens)
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(rl))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3)
+
+    ok &= check("pallas mel == xla mel", mel_check)
+
+    # 2. lookahead equivalence -------------------------------------------
+    model = Transducer.from_preset(args.preset)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    def lookahead_check():
+        enc = jnp.asarray(rng.standard_normal((2, 24, model.config.d_enc)),
+                          jnp.float32)
+        lens = jnp.array([24, 17])
+        r1 = greedy_decode_transducer(model, params, enc, lens, lookahead=1)
+        r8 = greedy_decode_transducer(model, params, enc, lens, lookahead=8)
+        np.testing.assert_array_equal(np.asarray(r1.tokens),
+                                      np.asarray(r8.tokens))
+        np.testing.assert_array_equal(np.asarray(r1.counts),
+                                      np.asarray(r8.counts))
+
+    ok &= check("greedy lookahead equivalence", lookahead_check)
+
+    # 3. streaming == batch (causal variant of the preset) ----------------
+    def streaming_check():
+        cfg = dataclasses.replace(get_preset(args.preset), causal=True,
+                                  att_context=(8, 0))
+        smodel = Transducer(cfg)
+        sparams = jax.jit(smodel.init)(jax.random.PRNGKey(1))
+        t = 8 * cfg.subsampling_factor
+        feats = jnp.asarray(rng.standard_normal((1, cfg.n_mels, t)),
+                            jnp.float32)
+        full, _ = smodel.encode(sparams, feats, jnp.array([t]))
+        cache = init_encoder_cache(cfg, 1)
+        step = 2 * cfg.subsampling_factor
+        outs = []
+        for i in range(0, t, step):
+            e, cache = encode_chunk(sparams["encoder"], cfg,
+                                    feats[:, :, i:i + step], cache)
+            outs.append(np.asarray(e))
+        np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                                   np.asarray(full), atol=3e-4, rtol=1e-2)
+
+    ok &= check("streaming chunked == batch forward", streaming_check)
+
+    # 4. pipeline smoke + determinism -------------------------------------
+    def pipeline_check():
+        vocab = Vocabulary.from_map(
+            {i: f"w{i}" for i in range(model.config.blank_id)})
+        cfg = Config(audio_sec_buckets=[1.0], batch_buckets=[1],
+                     warmup_on_start=False)
+        pipe = AsrPipeline(model, params, vocab, cfg)
+        pcm = rng.integers(-3000, 3000, 8000, dtype=np.int16).tobytes()
+        t1 = pipe.process_batch(pcm)
+        t2 = pipe.process_batch(pcm)
+        assert t1.tokens == t2.tokens, "nondeterministic decode"
+        assert t1.features_length == 1 + 8000 // 160
+
+    ok &= check("pipeline smoke + determinism", pipeline_check)
+
+    print("selfcheck:", "OK" if ok else "FAILED")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
