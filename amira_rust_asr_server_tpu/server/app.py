@@ -40,7 +40,9 @@ log = get_logger("asr.server")
 # ---------------------------------------------------------------------------
 # request parsing / validation
 # ---------------------------------------------------------------------------
-def parse_batch_request(body: dict) -> tuple[bytes, Any]:
+def parse_batch_request(body: dict,
+                        max_secs: float = C.MAX_BATCH_AUDIO_LENGTH_SECS
+                        ) -> tuple[bytes, Any]:
     """Extract (audio_bytes, opaque) from a batch request body.
 
     ``audio_buffer`` accepts a JSON array of u8 (the reference's wire form,
@@ -74,10 +76,9 @@ def parse_batch_request(body: dict) -> tuple[bytes, Any]:
             f"Audio buffer too large: {len(audio)} bytes "
             f"(max: {C.MAX_AUDIO_BYTES} bytes)")
     secs = len(audio) / (C.SAMPLE_RATE * 2.0)
-    if secs > C.MAX_BATCH_AUDIO_LENGTH_SECS:
+    if secs > max_secs:
         raise RequestValidationError(
-            f"Audio too long: {secs:.1f}s "
-            f"(max: {C.MAX_BATCH_AUDIO_LENGTH_SECS:.0f}s)")
+            f"Audio too long: {secs:.1f}s (max: {max_secs:.0f}s)")
 
     opaque = body.get("opaque")
     if opaque is not None:
@@ -114,7 +115,8 @@ async def handle_batch(request: web.Request) -> web.Response:
             body = await request.json()
         except Exception:
             raise RequestValidationError("invalid JSON body") from None
-        audio, opaque = parse_batch_request(body)
+        audio, opaque = parse_batch_request(
+            body, state.config.max_batch_audio_length_secs)
 
         with request_span("batch", model=request.match_info.get("model")):
             # budget: cold buckets include an XLA compile (~1 min under
@@ -148,6 +150,7 @@ async def handle_batch(request: web.Request) -> web.Response:
             metadata["token_details"] = [
                 {"id": d.id, "time_s": d.time_s,
                  "confidence": d.confidence} for d in tr.token_details]
+            metadata["words"] = state.vocab.decode_words(tr.token_details)
         response = AsrResponse(
             transcription=tr.text, status=StreamStatus.COMPLETE,
             metadata=metadata, opaque=opaque)

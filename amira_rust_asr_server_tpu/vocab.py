@@ -96,6 +96,35 @@ class Vocabulary:
                     i += 1
         return pieces
 
+    def decode_words(self, token_details) -> List[dict]:
+        """Group per-token details into word-level entries.
+
+        Takes a list of TokenInfo-like objects ({id, time_s, confidence});
+        returns [{"word", "start_s", "end_s", "confidence"}] where a word
+        starts at each '▁'-prefixed piece and confidence is the minimum of
+        its pieces (the weakest-link convention).
+        """
+        words: List[dict] = []
+        cur = None
+        for d in token_details:
+            tok = self._id_to_token.get(int(d.id))
+            if tok is None:
+                continue
+            starts_word = tok.startswith(_BPE_SPACE)
+            text = tok[len(_BPE_SPACE):] if starts_word else tok
+            if starts_word or cur is None:
+                if cur is not None and cur["word"]:
+                    words.append(cur)
+                cur = {"word": text, "start_s": d.time_s, "end_s": d.time_s,
+                       "confidence": d.confidence}
+            else:
+                cur["word"] += text
+                cur["end_s"] = d.time_s
+                cur["confidence"] = min(cur["confidence"], d.confidence)
+        if cur is not None and cur["word"]:
+            words.append(cur)
+        return words
+
     # -- lookups ------------------------------------------------------------
     def get_token(self, tok_id: int) -> Optional[str]:
         return self._id_to_token.get(int(tok_id))

@@ -59,3 +59,16 @@ def test_encode_real_vocab_roundtrip():
     text = "the quick brown fox jumps over the lazy dog"
     ids = v.encode_text(text)
     assert v.decode_tokens(ids) == text
+
+
+def test_decode_words_grouping():
+    import dataclasses
+    from amira_rust_asr_server_tpu.types import TokenInfo
+    v = Vocabulary.from_map({0: "▁the", 1: "▁qui", 2: "ck", 3: "▁fox"})
+    details = [TokenInfo(0, 0.1, 0.9), TokenInfo(1, 0.3, 0.8),
+               TokenInfo(2, 0.4, 0.6), TokenInfo(3, 0.7, 0.95)]
+    words = v.decode_words(details)
+    assert [w["word"] for w in words] == ["the", "quick", "fox"]
+    assert words[1]["start_s"] == 0.3
+    assert words[1]["end_s"] == 0.4
+    assert words[1]["confidence"] == 0.6  # weakest piece
