@@ -76,8 +76,10 @@ class MHSA(nn.Module):
         v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         q, k = _rope(q), _rope(k)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+        # scores stay in the activation dtype: a f32 [B, H, T, T] score
+        # tensor doubles attention HBM traffic for no accuracy we need
+        # (bf16 softmax is standard practice for inference)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         scores = scores / jnp.sqrt(jnp.asarray(dh, scores.dtype))
 
         mask = pad_mask[:, None, None, :]  # [B, 1, 1, T] keys
@@ -96,8 +98,7 @@ class MHSA(nn.Module):
 
         scores = jnp.where(mask, scores, jnp.asarray(-1e9, scores.dtype))
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, name="out")(out)
 

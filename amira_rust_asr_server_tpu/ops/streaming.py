@@ -117,8 +117,9 @@ def _mhsa_stream(p: Dict, cfg: ModelConfig, x_ln: jax.Array,
     keys = jnp.concatenate([k_cache, k], axis=2)    # [B, H, L+t, dh]
     vals = jnp.concatenate([v_cache, v], axis=2)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, keys,
-                        preferred_element_type=jnp.float32)
+    # scores in the activation dtype (matches the batch encoder's bf16
+    # inference attention)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, keys)
     scores = scores / jnp.sqrt(jnp.asarray(dh, scores.dtype))
 
     q_pos = pos[:, None, None] + jnp.arange(t)[None, :, None]  # [B,t,1]
@@ -128,8 +129,7 @@ def _mhsa_stream(p: Dict, cfg: ModelConfig, x_ln: jax.Array,
     scores = jnp.where(mask[:, None], scores,
                        jnp.asarray(-1e9, scores.dtype))
     attn = jax.nn.softmax(scores, axis=-1).astype(x_ln.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vals,
-                     preferred_element_type=jnp.float32).astype(x_ln.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vals)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
     return _dense(p["out"], out), keys[:, :, -left:], vals[:, :, -left:]
 
