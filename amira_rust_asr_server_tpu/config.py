@@ -88,6 +88,7 @@ class Config:
     # -- decoding -----------------------------------------------------------
     decoding_mode: str = "greedy"  # "greedy" | "beam"
     beam_width: int = C.DEFAULT_BEAM_WIDTH
+    beam_n_best: int = 1  # >1 exposes metadata["n_best"] alternatives
 
     # -- platform/ops knobs (parity names kept where meaningful) ------------
     enable_platform_optimizations: bool = True

@@ -228,20 +228,38 @@ class AsrPipeline:
     def decode_samples_beam(self, samples: np.ndarray, *,
                             bias=None, n_best: int = 1):
         """Beam-search decode of one utterance; returns a BeamResult."""
+        res, fls, els = self.decode_beam_batch([samples], bias=bias,
+                                               n_best=n_best)
+        return res, fls[0], els[0]
+
+    def decode_beam_batch(self, samples: Sequence[np.ndarray], *,
+                          bias=None, n_best: int = 1):
+        """Beam-search decode a batch (padded to shape buckets).
+
+        The beam core is fully batched over (batch x beam) lanes; this
+        packs requests like decode_samples_batch. Returns
+        (BeamResult over all lanes, feat_lens list, enc_lens list)."""
         from ..ops.beam import beam_decode_transducer
         cfg = self.config
         mcfg = self.model.config
-        n = self._bucket_len(samples.shape[0])
-        audio = np.zeros((1, n), np.float32)
-        m = min(samples.shape[0], n)
-        audio[0, :m] = samples[:m]
+        b_real = len(samples)
+        b = self._bucket_batch(b_real)
+        n = self._bucket_len(max(s.shape[0] for s in samples))
+        audio = np.zeros((b, n), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(samples):
+            m = min(s.shape[0], n)
+            audio[i, :m] = s[:m]
+            lens[i] = m
         feats, feat_lens = log_mel_features(
-            jnp.asarray(audio), jnp.asarray([m]), n_mels=mcfg.n_mels)
-        enc, enc_lens = self.model.encode(self.params, feats, feat_lens)
-        return beam_decode_transducer(
+            jnp.asarray(audio), jnp.asarray(lens), n_mels=mcfg.n_mels)
+        enc, enc_lens = self.model.encode(
+            self.params, feats.astype(self.compute_dtype), feat_lens)
+        res = beam_decode_transducer(
             self.model, self.params, enc, enc_lens,
-            beam_width=cfg.beam_width, bias=bias, n_best=n_best), \
-            int(feat_lens[0]), int(enc_lens[0])
+            beam_width=cfg.beam_width, bias=bias, n_best=n_best)
+        return (res, [int(x) for x in np.asarray(feat_lens)[:b_real]],
+                [int(x) for x in np.asarray(enc_lens)[:b_real]])
 
     # ------------------------------------------------------------------
     # reference-parity surface (pipeline.rs:21-67)
@@ -251,12 +269,19 @@ class AsrPipeline:
         (greedy|beam) follows config (ref: decoding strategy of the k2
         backend vs the default greedy path)."""
         if self.config.decoding_mode == "beam":
-            res, feat_len, enc_len = self.decode_samples_beam(samples)
+            res, feat_len, enc_len = self.decode_samples_beam(
+                samples, n_best=self.config.beam_n_best)
             tokens = [int(t) for t in res.tokens[0, :int(res.counts[0])]]
-            return Transcription(
+            tr = Transcription(
                 text=self.vocab.decode_tokens(tokens), tokens=tokens,
                 audio_length_samples=samples.shape[0],
                 features_length=feat_len, encoded_length=enc_len)
+            if res.n_best:
+                tr.n_best = [
+                    {"text": self.vocab.decode_tokens(seq), "score": score,
+                     "tokens": seq}
+                    for score, seq in res.n_best[0]]
+            return tr
         res, feat_lens, enc_lens, _ = self.decode_samples_batch([samples])
         return self._to_transcription(res, 0, samples.shape[0],
                                       int(feat_lens[0]), int(enc_lens[0]))

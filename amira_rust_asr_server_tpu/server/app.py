@@ -151,6 +151,8 @@ async def handle_batch(request: web.Request) -> web.Response:
                 {"id": d.id, "time_s": d.time_s,
                  "confidence": d.confidence} for d in tr.token_details]
             metadata["words"] = state.vocab.decode_words(tr.token_details)
+        if tr.n_best:
+            metadata["n_best"] = tr.n_best
         response = AsrResponse(
             transcription=tr.text, status=StreamStatus.COMPLETE,
             metadata=metadata, opaque=opaque)

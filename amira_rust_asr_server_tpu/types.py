@@ -101,6 +101,7 @@ class Transcription:
     features_length: int
     encoded_length: int
     token_details: Optional[List[TokenInfo]] = None
+    n_best: Optional[List[Dict[str, Any]]] = None  # beam alternatives
 
 
 @dataclasses.dataclass

@@ -176,3 +176,50 @@ def test_make_bias_vector():
     assert bias[0] > 0 and bias[1] > 0 and bias[2] > 0 and bias[3] > 0
     assert bias[4] == 0
     assert bias[5:].sum() == 0
+
+
+def test_batched_beam_matches_single(tiny):
+    """Beam over a 2-lane batch must equal per-utterance beam decodes."""
+    import numpy as _np
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+    model, params = tiny
+    vocab = Vocabulary.from_map({i: f"w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1, 2],
+                 decoding_mode="beam", beam_width=4,
+                 compute_dtype="float32")
+    pipe = AsrPipeline(model, params, vocab, cfg)
+    rng = _np.random.default_rng(9)
+    w1 = (rng.standard_normal(4000) * 0.1).astype(_np.float32)
+    w2 = (rng.standard_normal(6000) * 0.1).astype(_np.float32)
+
+    solo1 = pipe.process_batch_samples(w1)
+    solo2 = pipe.process_batch_samples(w2)
+    res, fls, els = pipe.decode_beam_batch([w1, w2])
+    from amira_rust_asr_server_tpu.ops.beam import BeamResult
+    assert isinstance(res, BeamResult)
+    t1 = [int(t) for t in res.tokens[0, :int(res.counts[0])]]
+    t2 = [int(t) for t in res.tokens[1, :int(res.counts[1])]]
+    assert t1 == solo1.tokens
+    assert t2 == solo2.tokens
+
+
+def test_beam_n_best_in_transcription(tiny):
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+    model, params = tiny
+    vocab = Vocabulary.from_map({i: f"w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1],
+                 decoding_mode="beam", beam_width=4, beam_n_best=3,
+                 compute_dtype="float32")
+    pipe = AsrPipeline(model, params, vocab, cfg)
+    import numpy as _np
+    w = (_np.random.default_rng(10).standard_normal(4000) * 0.1
+         ).astype(_np.float32)
+    tr = pipe.process_batch_samples(w)
+    assert tr.n_best is not None and len(tr.n_best) >= 1
+    assert tr.n_best[0]["text"] == tr.text
+    scores = [e["score"] for e in tr.n_best]
+    assert scores == sorted(scores, reverse=True)
