@@ -67,6 +67,10 @@ class ContinuousBatcher:
                          else cfg.batch_window_ms) / 1e3
         self.max_lanes = max_lanes or max(cfg.batch_buckets)
         self.stats = BatcherStats()
+        from ..utils.async_patterns import ErrorRecoveryManager
+        self._retry = ErrorRecoveryManager(
+            max_retries=2, base_delay_s=0.05,
+            retryable=(RuntimeError, TimeoutError))
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -147,11 +151,13 @@ class ContinuousBatcher:
             states = [item[1] for item in group]
             futures = [item[2] for item in group]
             try:
+                # transient device/runtime errors retry with backoff
+                # (ref: ErrorRecoveryManager, async_patterns.rs:152-192)
                 res, feat_lens, enc_lens, new_states = \
-                    await loop.run_in_executor(
+                    await self._retry.run(lambda: loop.run_in_executor(
                         self.executor,
                         self.pipeline.decode_samples_batch,
-                        samples, states)
+                        samples, states))
             except Exception as e:  # noqa: BLE001 — fan the error out
                 for fut in futures:
                     if not fut.done():

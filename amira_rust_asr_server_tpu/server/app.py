@@ -210,11 +210,36 @@ async def handle_stream(request: web.Request) -> web.StreamResponse:
 
 
 async def health_check(request: web.Request) -> web.Response:
-    return web.json_response({
+    state: AppState = request.app["state"]
+    payload = {
         "status": "healthy",
         "service": "amira-asr-tpu-server",
         "version": "1.0.0",
-    })
+    }
+    if request.query.get("deep"):
+        # device-liveness probe: a tiny op must complete within 2 s
+        # (failure-detection for the device loop; the reference's breaker
+        # watches Triton instead — SURVEY §5 failure detection)
+        import jax
+        import jax.numpy as jnp
+
+        def probe():
+            return float(jnp.sum(jnp.ones((8, 128))))
+
+        loop = asyncio.get_running_loop()
+        try:
+            value = await asyncio.wait_for(
+                loop.run_in_executor(state.inference_executor, probe), 2.0)
+            payload["device"] = {
+                "platform": jax.devices()[0].platform,
+                "probe": value == 1024.0,
+            }
+        except Exception as e:  # noqa: BLE001
+            payload["status"] = "degraded"
+            payload["device"] = {"error": str(e)[:200]}
+            payload["circuit_breaker"] = state.breaker.stats()
+            return web.json_response(payload, status=503)
+    return web.json_response(payload)
 
 
 async def metrics_handler(request: web.Request) -> web.Response:

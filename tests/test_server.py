@@ -299,3 +299,12 @@ def test_ws_native_concurrent_streams_share_lanes():
         # lanes were released on finalize
         assert all(f is None for f in state.lane_engine.featurizers)
     run(with_client(make_native_state(), go))
+
+
+def test_deep_health_probe():
+    async def go(client):
+        resp = await client.get("/health?deep=1")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["device"]["probe"] is True
+    run(with_client(make_state(), go))
