@@ -67,6 +67,9 @@ class Config:
     warmup_on_start: bool = True  # precompile bucket programs at startup
     cold_bucket_timeout_secs: float = 180.0  # allowance when XLA compiles
     use_pallas_mel: bool = True  # fused Pallas log-mel kernel (TPU only)
+    # fused Pallas joint+argmax decode step (TPU only); computes the joint
+    # in f32 inside VMEM (slightly MORE precise than the bf16 XLA path)
+    use_pallas_decode_step: bool = True
 
     # Mesh: axis name -> size; empty means single-device (no sharding).
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)

@@ -64,6 +64,7 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
                   *, max_symbols: int = MAX_SYMBOLS_PER_STEP,
                   max_total: int = MAX_TOTAL_TOKENS,
                   lookahead: int = 8,
+                  fused_step_fn: Optional[Callable] = None,
                   init_pred_out: Optional[jax.Array] = None,
                   init_last_token: Optional[jax.Array] = None,
                   token_offset: Optional[jax.Array] = None) -> GreedyResult:
@@ -121,21 +122,25 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
         enc_win = jnp.take_along_axis(
             enc, t_win_safe[:, :, None], axis=1)               # [B, F, D]
 
-        logits = joint_fn(
-            enc_win.reshape(b * f, -1),
-            jnp.repeat(pred_out, f, axis=0)).reshape(b, f, -1)  # [B, F, V]
-        k_win = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, F]
+        if fused_step_fn is not None:
+            # experimental Pallas path: joint + argmax + confidence fused
+            # in one VMEM-resident kernel (ops/pallas/decode_step.py)
+            k_win, conf_all = fused_step_fn(enc_win, pred_out)
+        else:
+            logits = joint_fn(
+                enc_win.reshape(b * f, -1),
+                jnp.repeat(pred_out, f, axis=0)).reshape(b, f, -1)
+            k_win = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # per-token confidence: softmax prob of the argmax
+            lse = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1)           # [B, F]
+            conf_all = jnp.exp(jnp.take_along_axis(
+                logits.astype(jnp.float32), k_win[:, :, None],
+                axis=2)[:, :, 0] - lse)                        # [B, F]
         nonblank = (k_win != blank_id) & valid
         any_nb = jnp.any(nonblank, axis=1)                     # [B]
         j = jnp.argmax(nonblank, axis=1).astype(jnp.int32)     # first hit
-
-        # per-token confidence: softmax prob at the emission position
-        lse = jax.scipy.special.logsumexp(
-            logits.astype(jnp.float32), axis=-1)               # [B, F]
         k = jnp.take_along_axis(k_win, j[:, None], axis=1)[:, 0]
-        conf_all = jnp.exp(jnp.take_along_axis(
-            logits.astype(jnp.float32), k_win[:, :, None],
-            axis=2)[:, :, 0] - lse)                            # [B, F]
         conf = jnp.take_along_axis(conf_all, j[:, None], axis=1)[:, 0]
 
         # a lane at its per-frame symbol cap advances one frame instead

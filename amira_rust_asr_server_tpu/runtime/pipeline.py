@@ -105,11 +105,17 @@ class AsrPipeline:
         # hoist the joint's encoder projection out of the decode loop
         enc_pre = self.model.joint_precompute_enc(params, enc)
         state = jax.tree_util.tree_map(lambda x: x.astype(dt), state)
+        fused = None
+        if (self.config.use_pallas_decode_step
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas.decode_step import make_fused_step_fn
+            fused = make_fused_step_fn(self.model, params)
         res = greedy_decode(
             partial(self.model.predict_step, params),
             partial(self.model.joint_step_pre, params),
             enc_pre, enc_lens, state, mcfg.blank_id,
             max_symbols=max_symbols, max_total=max_total,
+            fused_step_fn=fused,
             init_pred_out=pred_out.astype(dt), init_last_token=last_token,
             token_offset=token_offset)
         return res, feat_lens, enc_lens
