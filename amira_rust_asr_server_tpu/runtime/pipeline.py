@@ -55,11 +55,18 @@ class AsrPipeline:
     """Compiled end-to-end ASR over shape buckets."""
 
     def __init__(self, model: Transducer, params, vocab: Vocabulary,
-                 config: Optional[Config] = None):
+                 config: Optional[Config] = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — parameters are placed
+        with tensor-parallel shardings (parallel.mesh rules) and GSPMD
+        partitions every pipeline program across it."""
         self.model = model
         self.vocab = vocab
         self.config = config or Config()
         cfg = self.config
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+            params = shard_params(mesh, params)
         # bf16 serving: params cast once at load; feature extraction stays
         # f32 (DFT precision), activations run bf16 on the MXU
         self.compute_dtype = jnp.bfloat16 \

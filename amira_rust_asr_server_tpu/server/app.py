@@ -319,7 +319,12 @@ def build_state(config: Optional[Config] = None,
         log.warning("vocabulary %s not found; using empty vocab",
                     cfg.vocabulary_path)
         vocab = Vocabulary.from_map({})
-    pipeline = AsrPipeline(model, params, vocab, cfg)
+    mesh = None
+    if cfg.mesh_shape and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(cfg.mesh_shape)
+        log.info("serving over mesh %s", dict(mesh.shape))
+    pipeline = AsrPipeline(model, params, vocab, cfg, mesh=mesh)
     if warmup if warmup is not None else cfg.warmup_on_start:
         import time
         t0 = time.time()

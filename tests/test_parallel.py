@@ -129,3 +129,24 @@ def test_synthetic_data_pipeline(model):
     assert (np.asarray(batch.audio_lens) > 0).all()
     assert (np.asarray(batch.label_lens) > 0).all()
     assert (np.asarray(batch.labels) < model.config.blank_id).all()
+
+
+def test_pipeline_tp_sharded_matches_unsharded(model):
+    """End-to-end pipeline with TP-sharded params == unsharded pipeline."""
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1, 2],
+                 compute_dtype="float32")
+    plain = AsrPipeline(model, params, vocab, cfg)
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded = AsrPipeline(model, params, vocab, cfg, mesh=mesh)
+
+    rng = np.random.default_rng(11)
+    w = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    t_plain = plain.process_batch_samples(w)
+    t_tp = sharded.process_batch_samples(w)
+    assert t_plain.tokens == t_tp.tokens
+    assert t_plain.text == t_tp.text
