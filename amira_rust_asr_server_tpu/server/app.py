@@ -253,6 +253,16 @@ async def metrics_handler(request: web.Request) -> web.Response:
     return web.json_response(payload)
 
 
+async def get_config(request: web.Request) -> web.Response:
+    """Effective configuration introspection (the runtime counterpart of
+    the reference's config TOML/YAML export, ref: config.rs:659-668)."""
+    import dataclasses
+    state: AppState = request.app["state"]
+    cfg = dataclasses.asdict(state.config)
+    cfg["model_config"] = dataclasses.asdict(state.pipeline.model.config)
+    return web.json_response(cfg)
+
+
 async def reset_batch_count(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     state.metrics.reset_batch_count()
@@ -295,6 +305,7 @@ def create_app(state: AppState) -> web.Application:
     app.router.add_get("/health", health_check)
     app.router.add_get("/metrics", metrics_handler)
     app.router.add_post("/admin/reset-batch-count", reset_batch_count)
+    app.router.add_get("/admin/config", get_config)
     return app
 
 

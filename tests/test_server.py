@@ -308,3 +308,13 @@ def test_deep_health_probe():
         body = await resp.json()
         assert body["device"]["probe"] is True
     run(with_client(make_state(), go))
+
+
+def test_admin_config_endpoint():
+    async def go(client):
+        resp = await client.get("/admin/config")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["max_concurrent_streams"] == 10
+        assert body["model_config"]["vocab_size"] == 16  # tiny preset
+    run(with_client(make_state(), go))

@@ -117,6 +117,31 @@ def main() -> None:
 
     ok &= check("streaming chunked == batch forward", streaming_check)
 
+    # 3b. fused Pallas decode step == XLA logits path ----------------------
+    def fused_decode_check():
+        from functools import partial as _partial
+        from amira_rust_asr_server_tpu.ops.greedy import greedy_decode
+        from amira_rust_asr_server_tpu.ops.pallas.decode_step import (
+            make_fused_step_fn)
+        cfg = model.config
+        enc = jnp.asarray(rng.standard_normal((2, 16, cfg.d_enc)),
+                          jnp.float32)
+        enc_pre = model.joint_precompute_enc(params, enc)
+        lens = jnp.array([16, 11])
+        pf = _partial(model.predict_step, params)
+        jf = _partial(model.joint_step_pre, params)
+        interp = dev.platform == "cpu"
+        base = greedy_decode(pf, jf, enc_pre, lens,
+                             model.init_state(2), cfg.blank_id)
+        fused = greedy_decode(
+            pf, jf, enc_pre, lens, model.init_state(2), cfg.blank_id,
+            fused_step_fn=make_fused_step_fn(model, params,
+                                             interpret=interp))
+        np.testing.assert_array_equal(np.asarray(base.tokens),
+                                      np.asarray(fused.tokens))
+
+    ok &= check("fused pallas decode step == xla", fused_decode_check)
+
     # 4. pipeline smoke + determinism -------------------------------------
     def pipeline_check():
         vocab = Vocabulary.from_map(
