@@ -223,3 +223,19 @@ def test_beam_n_best_in_transcription(tiny):
     assert tr.n_best[0]["text"] == tr.text
     scores = [e["score"] for e in tr.n_best]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_beam_zero_length_lane():
+    """A lane with enc_len=0 must yield an empty hypothesis, not garbage."""
+    b, t = 2, 3
+    enc = jnp.asarray(np.tile(np.array([0, 1, 2], np.float32)[None, :, None],
+                              (b, 1, 1)))
+
+    def joint(enc_frame, pred_out):
+        want = enc_frame[:, 0].astype(jnp.int32)
+        done = pred_out[:, 0].astype(jnp.int32) == want
+        return 20.0 * jax.nn.one_hot(jnp.where(done, BLANK, want), VOCAB)
+
+    res = run_beam(joint, enc, [3, 0])
+    assert res.counts[0] == 3
+    assert res.counts[1] == 0

@@ -187,3 +187,14 @@ def test_lookahead_equivalence(tiny):
                                   np.asarray(r8.frame_idx))
     np.testing.assert_allclose(np.asarray(r1.confidence),
                                np.asarray(r8.confidence), atol=1e-5)
+
+
+def test_greedy_zero_length_lane(tiny):
+    model, params = tiny
+    cfg = model.config
+    rng = np.random.default_rng(12)
+    enc = jnp.asarray(rng.standard_normal((2, 6, cfg.d_enc)), jnp.float32)
+    res = greedy_decode_transducer(model, params, enc, jnp.array([6, 0]))
+    assert int(res.counts[1]) == 0
+    # zero-length lane's carry state remains the fresh SOS state
+    assert int(res.last_token[1]) == cfg.blank_id
