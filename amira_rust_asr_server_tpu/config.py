@@ -46,6 +46,7 @@ class Config:
     decoder_joint_model_name: str = C.DECODER_JOINT_MODEL_NAME
     max_symbols_per_step: int = C.MAX_SYMBOLS_PER_STEP
     max_total_tokens: int = C.MAX_TOTAL_TOKENS
+    greedy_lookahead: int = 8  # frames evaluated per decode-loop iteration
 
     # -- inference backend --------------------------------------------------
     # "tpu" (jit on the default backend) or "cpu" (force CPU, for tests).

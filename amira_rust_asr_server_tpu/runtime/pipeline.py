@@ -122,6 +122,7 @@ class AsrPipeline:
             partial(self.model.joint_step_pre, params),
             enc_pre, enc_lens, state, mcfg.blank_id,
             max_symbols=max_symbols, max_total=max_total,
+            lookahead=self.config.greedy_lookahead,
             fused_step_fn=fused,
             init_pred_out=pred_out.astype(dt), init_last_token=last_token,
             token_offset=token_offset)
