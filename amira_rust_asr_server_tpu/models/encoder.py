@@ -200,8 +200,10 @@ class ConformerEncoder(nn.Module):
         pad_mask = jnp.arange(t_sub)[None, :] < enc_lens[:, None]
         x = jnp.where(pad_mask[:, :, None], x, 0.0)
 
+        block_cls = (nn.remat(ConformerBlock, static_argnums=())
+                     if cfg.remat else ConformerBlock)
         for i in range(cfg.n_layers):
-            x = ConformerBlock(cfg, name=f"block{i}")(x, pad_mask)
+            x = block_cls(cfg, name=f"block{i}")(x, pad_mask)
 
         x = nn.Dense(cfg.d_enc, name="out_proj")(x)
         x = jnp.where(pad_mask[:, :, None], x, 0.0)

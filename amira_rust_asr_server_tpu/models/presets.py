@@ -35,6 +35,9 @@ class ModelConfig:
     # for the cache-based streaming encoder (ops/streaming.py) to be
     # exactly equivalent to the batch forward
     causal: bool = False
+    # rematerialize each conformer block in the backward pass (training
+    # memory for FLOPs trade; no effect on inference)
+    remat: bool = False
 
     # prediction network
     d_pred: int = DECODER_STATE_SIZE  # LSTM hidden (contract: 640)

@@ -150,3 +150,31 @@ def test_pipeline_tp_sharded_matches_unsharded(model):
     t_tp = sharded.process_batch_samples(w)
     assert t_plain.tokens == t_tp.tokens
     assert t_plain.text == t_tp.text
+
+
+def test_remat_training_matches_no_remat():
+    """Rematerialized blocks change memory, not math."""
+    import dataclasses
+    import jax.numpy as jnp
+    from amira_rust_asr_server_tpu.models.presets import TINY
+    from amira_rust_asr_server_tpu.models import Transducer
+    from amira_rust_asr_server_tpu.parallel import loss_fn
+
+    base = Transducer(TINY)
+    remat = Transducer(dataclasses.replace(TINY, remat=True))
+    params = base.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batch = TrainBatch(
+        audio=jnp.asarray(rng.standard_normal((2, 3200)) * 0.1, jnp.float32),
+        audio_lens=jnp.array([3200, 2400], jnp.int32),
+        labels=jnp.asarray(rng.integers(0, 15, (2, 4)), jnp.int32),
+        label_lens=jnp.array([4, 2], jnp.int32))
+
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(base, p, batch))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss_fn(remat, p, batch))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
