@@ -75,7 +75,7 @@ class StreamingLaneEngine:
         self.finishing: List[bool] = [False] * n_lanes
 
         def step(p, feats, active, enc_lens, cache, state, pred_out,
-                 last_token):
+                 last_token, token_offset):
             """feats [L, M, Tc]; active [L] bool; enc_lens [L] = real
             encoder frames to decode this chunk (0 for inactive, partial
             for a final chunk). Inactive lanes keep all state
@@ -95,7 +95,7 @@ class StreamingLaneEngine:
                 model.joint_precompute_enc(p, enc), enc_lens, state,
                 cfg.blank_id, max_symbols=max_symbols,
                 max_total=max_total, init_pred_out=pred_out,
-                init_last_token=last_token)
+                init_last_token=last_token, token_offset=token_offset)
             return cache2, res
 
         self._step = jax.jit(step, donate_argnums=(4,))
@@ -195,10 +195,12 @@ class StreamingLaneEngine:
             active[lane] = True
             enc_lens[lane] = -(-real // sub)  # only real frames decode
 
+        offsets = np.asarray([len(t) for t in self.tokens], np.int32)
         cache2, res = self._step(
             self.params, jnp.asarray(feats, self._dtype),
             jnp.asarray(active), jnp.asarray(enc_lens), self.enc_cache,
-            self.dec_state, self.pred_out, self.last_token)
+            self.dec_state, self.pred_out, self.last_token,
+            jnp.asarray(offsets))
         self.enc_cache = cache2
         self.dec_state = res.state
         self.pred_out = res.pred_out

@@ -160,7 +160,7 @@ class NativeStreamSession:
         # traced ARGUMENT — closing over them would bake the full model
         # into the HLO as constants.
         def chunk_step(p, feats, cache, enc_lens, state, pred_out,
-                       last_token):
+                       last_token, token_offset):
             enc, cache2 = encode_chunk(p["encoder"], cfg, feats, cache)
             res = greedy_decode(
                 partial(model.predict_step, p),
@@ -168,7 +168,7 @@ class NativeStreamSession:
                 model.joint_precompute_enc(p, enc), enc_lens, state,
                 cfg.blank_id, max_symbols=self.max_symbols,
                 max_total=self.max_total, init_pred_out=pred_out,
-                init_last_token=last_token)
+                init_last_token=last_token, token_offset=token_offset)
             return cache2, res
 
         self._step = jax.jit(chunk_step, donate_argnums=(2,))
@@ -226,9 +226,12 @@ class NativeStreamSession:
             state, pred_out, last = (carry.state, carry.pred_out,
                                      carry.last_token)
 
+        # the max_total budget spans the whole stream session (parity
+        # with MAX_TOTAL_TOKENS semantics, constants.rs:136)
+        offset = jnp.array([len(self.state.tokens)], jnp.int32)
         self.state.enc_cache, res = self._step(
             self.params, feats_dev, self.state.enc_cache,
-            jnp.array([n_enc], jnp.int32), state, pred_out, last)
+            jnp.array([n_enc], jnp.int32), state, pred_out, last, offset)
         self.state.decode_carry = res
         n = int(res.counts[0])
         self.state.tokens.extend(
