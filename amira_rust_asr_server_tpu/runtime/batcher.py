@@ -138,6 +138,9 @@ class ContinuousBatcher:
         return list(groups.values())
 
     async def _dispatch(self, batch) -> None:
+        if self.pipeline.config.decoding_mode == "beam":
+            await self._dispatch_beam(batch)
+            return
         loop = asyncio.get_running_loop()
         try:
             groups = self._group_by_bucket(batch)
@@ -171,3 +174,48 @@ class ContinuousBatcher:
                     res, i, samples[i].shape[0],
                     int(feat_lens[i]), int(enc_lens[i]))
                 fut.set_result((tr, new_states[i]))
+
+    async def _dispatch_beam(self, batch) -> None:
+        """Beam-mode dispatch: requests share the (batch x beam)-lane beam
+        program. Carried stream state isn't supported in beam mode (beam
+        serves the batch endpoint; streams decode greedily)."""
+        from ..types import Transcription
+        loop = asyncio.get_running_loop()
+        try:
+            groups = self._group_by_bucket(batch)
+        except Exception as e:  # noqa: BLE001
+            for *_, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        cfg = self.pipeline.config
+        for group in groups:
+            samples = [item[0] for item in group]
+            futures = [item[2] for item in group]
+            try:
+                res, feat_lens, enc_lens = await self._retry.run(
+                    lambda: loop.run_in_executor(
+                        self.executor,
+                        lambda: self.pipeline.decode_beam_batch(
+                            samples, n_best=cfg.beam_n_best)))
+            except Exception as e:  # noqa: BLE001
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self.stats.record(len(group))
+            vocab = self.pipeline.vocab
+            for i, fut in enumerate(futures):
+                if fut.done():
+                    continue
+                toks = [int(t) for t in res.tokens[i, :int(res.counts[i])]]
+                tr = Transcription(
+                    text=vocab.decode_tokens(toks), tokens=toks,
+                    audio_length_samples=samples[i].shape[0],
+                    features_length=feat_lens[i],
+                    encoded_length=enc_lens[i])
+                if res.n_best:
+                    tr.n_best = [
+                        {"text": vocab.decode_tokens(seq), "score": score,
+                         "tokens": seq} for score, seq in res.n_best[i]]
+                fut.set_result((tr, None))

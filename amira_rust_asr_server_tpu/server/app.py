@@ -125,20 +125,13 @@ async def handle_batch(request: web.Request) -> web.Response:
             budget = (state.config.inference_timeout_secs * 6 if warm
                       else state.config.cold_bucket_timeout_secs)
             async with state.shutdown.guard():
-                if state.config.decoding_mode == "beam":
-                    # beam requests bypass the greedy batcher
-                    loop = asyncio.get_running_loop()
-                    fut = loop.run_in_executor(
-                        state.inference_executor,
-                        state.pipeline.process_batch, audio)
-                    tr = await state.breaker.call_async(
-                        asyncio.wait_for(fut, budget))
-                else:
-                    from ..audio import pcm16_bytes_to_f32
-                    samples = pcm16_bytes_to_f32(audio)
-                    tr, _ = await state.breaker.call_async(
-                        asyncio.wait_for(
-                            state.batcher.submit(samples), budget))
+                # greedy AND beam requests ride the continuous batcher
+                # (the batcher dispatches per the configured decoding mode)
+                from ..audio import pcm16_bytes_to_f32
+                samples = pcm16_bytes_to_f32(audio)
+                tr, _ = await state.breaker.call_async(
+                    asyncio.wait_for(
+                        state.batcher.submit(samples), budget))
 
         metadata = {
             "audio_length_samples": tr.audio_length_samples,

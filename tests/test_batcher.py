@@ -121,3 +121,34 @@ def test_submit_from_thread(pipeline):
     assert len(out) == 4
     first = out[0][0].tokens
     assert all(tr.tokens == first for tr, _ in out)
+
+
+def test_beam_mode_batcher_coalesces():
+    """Beam-mode requests share one (batch x beam) device call and return
+    full Transcriptions with n-best."""
+    model = Transducer.from_preset("tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1, 2, 4],
+                 decoding_mode="beam", beam_width=4, beam_n_best=2,
+                 compute_dtype="float32", batch_window_ms=30.0)
+    pipe = AsrPipeline(model, params, vocab, cfg)
+
+    async def go():
+        ex = concurrent.futures.ThreadPoolExecutor(1)
+        batcher = ContinuousBatcher(pipe, ex, window_ms=50.0)
+        await batcher.start()
+        rng = np.random.default_rng(4)
+        waves = [(rng.standard_normal(4000) * 0.1).astype(np.float32)
+                 for _ in range(3)]
+        results = await asyncio.gather(*[batcher.submit(w) for w in waves])
+        await batcher.stop()
+        return waves, results, batcher.stats.to_json()
+
+    waves, results, stats = asyncio.run(go())
+    assert stats["dispatches"] < 3  # coalesced
+    for w, (tr, st) in zip(waves, results):
+        assert st is None  # no stream state in beam mode
+        solo = pipe.process_batch_samples(w)
+        assert tr.tokens == solo.tokens
+        assert tr.n_best is not None and tr.n_best[0]["text"] == tr.text
