@@ -67,6 +67,10 @@ class Config:
     max_lanes: int = 16  # streaming decode lanes resident per chip
     warmup_on_start: bool = True  # precompile bucket programs at startup
     cold_bucket_timeout_secs: float = 180.0  # allowance when XLA compiles
+    # persistent XLA compilation cache: restarts (and identical replicas)
+    # reuse compiled bucket programs instead of re-paying minutes of
+    # compile; empty string disables
+    compilation_cache_dir: str = ".jax_cache"
     use_pallas_mel: bool = True  # fused Pallas log-mel kernel (TPU only)
     # fused Pallas joint+argmax decode step (TPU only); computes the joint
     # in f32 inside VMEM (slightly MORE precise than the bf16 XLA path)

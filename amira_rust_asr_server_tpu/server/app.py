@@ -311,6 +311,11 @@ def build_state(config: Optional[Config] = None,
     cfg = config or Config.load()
     if cfg.inference_backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if cfg.compilation_cache_dir:
+        import os
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cfg.compilation_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     model = Transducer.from_preset(preset or cfg.model_preset)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng)
