@@ -1,0 +1,9 @@
+"""Deterministic synthetic tasks for end-to-end/golden testing."""
+
+from .digits import (DIGIT_WORDS, digits_vocab_map, digit_batches,
+                     random_sentence, synth_digits, write_digits_vocab)
+
+__all__ = [
+    "DIGIT_WORDS", "digits_vocab_map", "digit_batches", "random_sentence",
+    "synth_digits", "write_digits_vocab",
+]
