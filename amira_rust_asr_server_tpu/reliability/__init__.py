@@ -6,7 +6,9 @@ reference where it's commented out of the live client.)
 
 from .circuit_breaker import CircuitBreaker, CircuitState
 from .graceful_shutdown import GracefulShutdown
-from .tracing import get_logger, init_tracing, request_span
+from .tracing import (OtlpHttpExporter, get_exporter, get_logger,
+                      init_tracing, request_span, set_exporter)
 
 __all__ = ["CircuitBreaker", "CircuitState", "GracefulShutdown",
-           "init_tracing", "get_logger", "request_span"]
+           "init_tracing", "get_logger", "request_span",
+           "OtlpHttpExporter", "get_exporter", "set_exporter"]

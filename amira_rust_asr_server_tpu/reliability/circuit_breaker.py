@@ -48,6 +48,20 @@ class CircuitBreaker:
         self.total_calls = 0
         self.total_failures = 0
         self.total_rejections = 0
+        # optional hook fired on every state transition (wired to the
+        # prometheus asr_circuit_breaker_state gauge by AppState)
+        self.on_state_change: Optional[Callable[[CircuitState], None]] = None
+
+    def _set_state(self, state: CircuitState) -> None:
+        """Transition + notify (lock already held; hook must be cheap)."""
+        if state is self._state:
+            return
+        self._state = state
+        if self.on_state_change is not None:
+            try:
+                self.on_state_change(state)
+            except Exception:  # noqa: BLE001 — metrics never break serving
+                pass
 
     # ------------------------------------------------------------------
     @property
@@ -59,7 +73,7 @@ class CircuitBreaker:
         if self._state is CircuitState.OPEN:
             if (self._clock() - self._opened_at
                     >= self.recovery_timeout_secs):
-                self._state = CircuitState.HALF_OPEN
+                self._set_state(CircuitState.HALF_OPEN)
                 self._half_open_successes = 0
         return self._state
 
@@ -79,7 +93,7 @@ class CircuitBreaker:
             if self._state is CircuitState.HALF_OPEN:
                 self._half_open_successes += 1
                 if self._half_open_successes >= self.success_threshold:
-                    self._state = CircuitState.CLOSED
+                    self._set_state(CircuitState.CLOSED)
                     self._failures.clear()
 
     def record_failure(self) -> None:
@@ -97,13 +111,13 @@ class CircuitBreaker:
                 self._trip(now)
 
     def _trip(self, now: float) -> None:
-        self._state = CircuitState.OPEN
+        self._set_state(CircuitState.OPEN)
         self._opened_at = now
 
     def force_state(self, state: CircuitState) -> None:
         """Test hook (ref: circuit_breaker.rs:296-301)."""
         with self._lock:
-            self._state = state
+            self._set_state(state)
             self._opened_at = self._clock()
             self._half_open_successes = 0
 

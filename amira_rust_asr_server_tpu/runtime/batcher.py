@@ -67,11 +67,18 @@ class ContinuousBatcher:
                          else cfg.batch_window_ms) / 1e3
         self.max_lanes = max_lanes or max(cfg.batch_buckets)
         self.stats = BatcherStats()
+        # optional PrometheusMetrics (AppState wires it): batch_lanes
+        # histogram per device dispatch
+        self.prometheus = None
         from ..utils.async_patterns import ErrorRecoveryManager
         self._retry = ErrorRecoveryManager(
             max_retries=2, base_delay_s=0.05,
             retryable=(RuntimeError, TimeoutError))
-        self._queue: asyncio.Queue = asyncio.Queue()
+        # bounded admission queue (ref: inference_queue_size,
+        # config.rs:114-140): overflow rejects with 503 instead of
+        # queueing unboundedly behind a slow device
+        self._queue: asyncio.Queue = asyncio.Queue(
+            maxsize=max(cfg.inference_queue_size, self.max_lanes))
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
 
@@ -93,9 +100,15 @@ class ContinuousBatcher:
     async def submit(self, samples: np.ndarray,
                      stream_state: Optional[StreamState] = None
                      ) -> Tuple[Transcription, StreamState]:
-        """Queue one decode; resolves when its device batch completes."""
+        """Queue one decode; resolves when its device batch completes.
+        Raises CapacityExceededError when the admission queue is full."""
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self._queue.put((samples, stream_state, fut))
+        try:
+            self._queue.put_nowait((samples, stream_state, fut))
+        except asyncio.QueueFull:
+            from ..errors import CapacityExceededError
+            raise CapacityExceededError(
+                "inference queue is full") from None
         return await fut
 
     def submit_from_thread(self, samples: np.ndarray,
@@ -128,14 +141,32 @@ class ContinuousBatcher:
             await self._dispatch(batch)
 
     # ------------------------------------------------------------------
-    def _group_by_bucket(self, batch) -> List[list]:
+    def _group_by_bucket(self, batch, mode: str = "greedy") -> List[list]:
         """Split pending work by audio-length bucket so short chunks don't
-        get padded to the longest request's bucket."""
+        get padded to the longest request's bucket — then cap each group at
+        the largest already-compiled batch bucket for that length, so a
+        burst budgeted for warm dispatch never lands in a cold bucket and
+        stalls behind a minutes-long XLA compile (background warmup grows
+        the cap over time). A fully-cold length bucket dispatches whole:
+        everything in it pays the one compile regardless of packing."""
         groups: dict = {}
         for item in batch:
             bucket = self.pipeline._bucket_len(item[0].shape[0])
             groups.setdefault(bucket, []).append(item)
-        return list(groups.values())
+        out: List[list] = []
+        for bucket, group in groups.items():
+            cap = self.pipeline.warm_batch_cap(bucket, mode)
+            natural = self.pipeline._bucket_batch(len(group))
+            if cap == 0 or self.pipeline.is_warm(natural, bucket, mode):
+                out.append(group)
+                continue
+            out.extend(group[i:i + cap] for i in range(0, len(group), cap))
+        return out
+
+    def _record_dispatch(self, lanes: int) -> None:
+        self.stats.record(lanes)
+        if self.prometheus is not None:
+            self.prometheus.batch_lanes.observe(lanes)
 
     async def _dispatch(self, batch) -> None:
         if self.pipeline.config.decoding_mode == "beam":
@@ -166,7 +197,7 @@ class ContinuousBatcher:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self.stats.record(len(group))
+            self._record_dispatch(len(group))
             for i, fut in enumerate(futures):
                 if fut.done():
                     continue
@@ -182,7 +213,7 @@ class ContinuousBatcher:
         from ..types import Transcription
         loop = asyncio.get_running_loop()
         try:
-            groups = self._group_by_bucket(batch)
+            groups = self._group_by_bucket(batch, mode="beam")
         except Exception as e:  # noqa: BLE001
             for *_, fut in batch:
                 if not fut.done():
@@ -203,7 +234,7 @@ class ContinuousBatcher:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self.stats.record(len(group))
+            self._record_dispatch(len(group))
             vocab = self.pipeline.vocab
             for i, fut in enumerate(futures):
                 if fut.done():

@@ -81,9 +81,16 @@ class AsrPipeline:
         self.params = params
         self._sec_buckets = sorted(cfg.audio_sec_buckets)
         self._batch_buckets = sorted(cfg.batch_buckets)
-        self._lock = threading.Lock()  # jit cache population
-        self._compiled: set = set()  # (batch_bucket, len_bucket) seen
+        # guards _compiled/_staging/_fresh_cache: the dispatch thread and
+        # the background warmup thread both touch them
+        self._lock = threading.Lock()
+        self._compiled: set = set()  # (mode, batch_bucket, len_bucket) seen
         self.warmed_up = False
+        # optional observability hook: called once per new bucket program
+        # (wired to the prometheus asr_xla_compilations_total counter)
+        self.on_compile = None
+        self._warmup_thread: Optional[threading.Thread] = None
+        self._warmup_stop = threading.Event()
         # host staging-buffer pool: one reusable padded array per bucket
         # (the host-side analogue of the reference's lock-free buffer
         # pools, ref: src/asr/lockfree_memory.rs — here a simple per-bucket
@@ -156,12 +163,54 @@ class AsrPipeline:
                 return cap
         return self._batch_buckets[-1]
 
-    def is_warm(self, n_requests: int, max_samples: int) -> bool:
+    def _bucket_batch_warm(self, b_real: int, n_bucket: int,
+                           mode: str) -> int:
+        """Batch bucket to dispatch ``b_real`` requests in: the natural
+        bucket when that program is already compiled, otherwise the
+        smallest *warm* bucket that fits (padding lanes are free compared
+        to a cold XLA compile); a fully-cold fit falls back to the natural
+        bucket and pays its one compile."""
+        natural = self._bucket_batch(b_real)
+        with self._lock:
+            if (mode, natural, n_bucket) in self._compiled:
+                return natural
+            warm = [b for b in self._batch_buckets
+                    if b >= b_real and (mode, b, n_bucket) in self._compiled]
+        return min(warm) if warm else natural
+
+    def is_warm(self, n_requests: int, max_samples: int,
+                mode: Optional[str] = None) -> bool:
         """True when the bucket program for this workload is already
         compiled — callers use this to budget timeouts (XLA compiles can
         take ~1 min on a cold bucket; see cold_bucket_timeout_secs)."""
-        key = (self._bucket_batch(n_requests), self._bucket_len(max_samples))
-        return key in self._compiled
+        key = (mode or self.config.decoding_mode,
+               self._bucket_batch(n_requests), self._bucket_len(max_samples))
+        with self._lock:
+            return key in self._compiled
+
+    def warm_batch_cap(self, max_samples: int,
+                       mode: Optional[str] = None) -> int:
+        """Largest batch bucket already compiled for this length bucket
+        (0 = none). The continuous batcher uses this to avoid packing a
+        burst into a cold bucket — requests budgeted for a warm dispatch
+        must never sit behind a minutes-long XLA compile (the cold-bucket
+        504 trap)."""
+        mode = mode or self.config.decoding_mode
+        n = self._bucket_len(max_samples)
+        with self._lock:
+            caps = [b for b in self._batch_buckets
+                    if (mode, b, n) in self._compiled]
+        return max(caps) if caps else 0
+
+    def _mark_compiled(self, mode: str, b: int, n: int) -> None:
+        with self._lock:
+            new = (mode, b, n) not in self._compiled
+            self._compiled.add((mode, b, n))
+        if new and self.on_compile is not None:
+            try:
+                self.on_compile()
+            except Exception:  # noqa: BLE001 — metrics must not break serving
+                pass
 
     # ------------------------------------------------------------------
     # batched raw decode (used by the continuous batcher and bench)
@@ -180,16 +229,17 @@ class AsrPipeline:
         b_real = len(samples)
         if b_real == 0:
             raise InvalidAudioFormatError("empty batch")
-        b = self._bucket_batch(b_real)
         max_n = max(s.shape[0] for s in samples)
         n = self._bucket_len(max_n)
+        b = self._bucket_batch_warm(b_real, n, "greedy")
 
-        audio = self._staging.get((b, n))
-        if audio is None:
-            audio = np.zeros((b, n), np.float32)
-            self._staging[(b, n)] = audio
-        else:
-            audio.fill(0.0)
+        with self._lock:
+            audio = self._staging.get((b, n))
+            if audio is None:
+                audio = np.zeros((b, n), np.float32)
+                self._staging[(b, n)] = audio
+            else:
+                audio.fill(0.0)
         lens = np.zeros((b,), np.int32)
         for i, s in enumerate(samples):
             m = min(s.shape[0], n)
@@ -223,7 +273,7 @@ class AsrPipeline:
             jnp.asarray(last_token), jnp.asarray(token_offset),
             max_symbols=cfg.max_symbols_per_step,
             max_total=cfg.max_total_tokens)
-        self._compiled.add((b, n))
+        self._mark_compiled("greedy", b, n)
 
         new_states: List[StreamState] = []
         for i in range(b_real):
@@ -257,8 +307,8 @@ class AsrPipeline:
         cfg = self.config
         mcfg = self.model.config
         b_real = len(samples)
-        b = self._bucket_batch(b_real)
         n = self._bucket_len(max(s.shape[0] for s in samples))
+        b = self._bucket_batch_warm(b_real, n, "beam")
         audio = np.zeros((b, n), np.float32)
         lens = np.zeros((b,), np.int32)
         for i, s in enumerate(samples):
@@ -272,6 +322,7 @@ class AsrPipeline:
         res = beam_decode_transducer(
             self.model, self.params, enc, enc_lens,
             beam_width=cfg.beam_width, bias=bias, n_best=n_best)
+        self._mark_compiled("beam", b, n)
         return (res, [int(x) for x in np.asarray(feat_lens)[:b_real]],
                 [int(x) for x in np.asarray(enc_lens)[:b_real]])
 
@@ -325,17 +376,82 @@ class AsrPipeline:
                secs: Optional[Sequence[float]] = None) -> int:
         """Pre-compile bucket programs (startup analogue of the reference's
         connection prewarming, ref: src/main.rs:79-85). Default: batch=1
-        across every length bucket — the single-request serving set.
-        Returns #programs."""
+        across every length bucket in the configured decoding mode — the
+        single-request serving set; the remaining batch buckets are
+        compiled by :meth:`start_background_warmup` while the warm set
+        serves (the batcher never packs into a cold bucket, see
+        warm_batch_cap). Returns #programs."""
         n = 0
         for b in (batch_sizes or self._batch_buckets[:1]):
             for s in (secs if secs is not None else self._sec_buckets):
-                samples = [np.zeros(int(s * C.SAMPLE_RATE), np.float32)
-                           for _ in range(b)]
-                self.decode_samples_batch(samples)
+                self._warm_one(b, int(s * C.SAMPLE_RATE))
                 n += 1
         self.warmed_up = True
         return n
+
+    def _warm_one(self, b: int, n_samples: int) -> None:
+        """Compile one (batch, length) bucket in the configured decoding
+        mode using silence. Allocates its own arrays (never the shared
+        staging pool) so it is safe from the background warmup thread
+        while the dispatch thread serves."""
+        samples = [np.zeros(n_samples, np.float32) for _ in range(b)]
+        if self.config.decoding_mode == "beam":
+            self.decode_beam_batch(samples)
+        else:
+            cfg = self.config
+            mcfg = self.model.config
+            bb = self._bucket_batch(b)
+            nb = self._bucket_len(n_samples)
+            audio = np.zeros((bb, nb), np.float32)
+            lens = np.full((bb,), min(n_samples, nb), np.int32)
+            fresh_out, fresh_state = self._fresh_pred()
+            self._fwd(
+                self.params, jnp.asarray(audio), jnp.asarray(lens),
+                (jnp.asarray(np.tile(fresh_state[0], (1, bb, 1))),
+                 jnp.asarray(np.tile(fresh_state[1], (1, bb, 1)))),
+                jnp.asarray(np.tile(fresh_out, (bb, 1))),
+                jnp.full((bb,), mcfg.blank_id, jnp.int32),
+                jnp.zeros((bb,), jnp.int32),
+                max_symbols=cfg.max_symbols_per_step,
+                max_total=cfg.max_total_tokens)
+            self._mark_compiled("greedy", bb, nb)
+
+    def start_background_warmup(self) -> None:
+        """Compile the not-yet-warm (batch x length) buckets on a daemon
+        thread, smallest batches first, while the server is already taking
+        traffic on the warm set. XLA compilation is thread-safe and runs on
+        the host, so serving dispatches proceed concurrently."""
+        if self._warmup_thread is not None:
+            return
+        self._warmup_stop.clear()
+
+        def run():
+            mode = self.config.decoding_mode
+            for b in self._batch_buckets:
+                for s in self._sec_buckets:
+                    n = int(s * C.SAMPLE_RATE)
+                    if self._warmup_stop.is_set():
+                        return
+                    if self.is_warm(b, n, mode):
+                        continue
+                    try:
+                        self._warm_one(b, n)
+                    except Exception:  # noqa: BLE001 — warmup must not crash
+                        from ..reliability import get_logger
+                        get_logger("asr.pipeline").exception(
+                            "background warmup failed for bucket "
+                            "(%d, %.1fs)", b, s)
+                        return
+
+        self._warmup_thread = threading.Thread(
+            target=run, name="bucket-warmup", daemon=True)
+        self._warmup_thread.start()
+
+    def stop_background_warmup(self, join: bool = False) -> None:
+        self._warmup_stop.set()
+        if join and self._warmup_thread is not None:
+            self._warmup_thread.join(timeout=30)
+        self._warmup_thread = None
 
     # ------------------------------------------------------------------
     def _convert(self, audio_bytes: bytes) -> np.ndarray:

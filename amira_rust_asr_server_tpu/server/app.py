@@ -311,6 +311,12 @@ def build_state(config: Optional[Config] = None,
     cfg = config or Config.load()
     if cfg.inference_backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if cfg.enable_platform_optimizations:
+        # probe host/devices/cloud and adopt the adjusted config
+        # (ref: main() calls initialize_platform and uses its effective
+        # config, src/main.rs:34-44, platform/init.rs:46-117)
+        from ..utils.platform import initialize_platform
+        cfg = initialize_platform(cfg).effective_config
     if cfg.compilation_cache_dir:
         import os
         jax.config.update("jax_compilation_cache_dir",
@@ -339,6 +345,9 @@ def build_state(config: Optional[Config] = None,
         t0 = time.time()
         n = pipeline.warmup()
         log.info("warmed %d bucket programs in %.1fs", n, time.time() - t0)
+        # the remaining (batch x length) buckets compile off-thread while
+        # the warm set serves; the batcher packs only into warm buckets
+        pipeline.start_background_warmup()
     return AppState(pipeline, vocab, cfg)
 
 
@@ -374,8 +383,8 @@ def main(argv=None) -> None:
                         help="skip startup precompilation of bucket programs")
     args = parser.parse_args(argv)
 
-    init_tracing()
     cfg = Config.load(search_dir=args.config_dir)
+    init_tracing(otel_endpoint=cfg.otel_endpoint)
     state = build_state(cfg, preset=args.preset,
                         warmup=False if args.no_warmup else None)
     asyncio.run(run_server(state, args.host, args.port))

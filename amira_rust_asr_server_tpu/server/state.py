@@ -76,6 +76,15 @@ class AppState:
         from ..runtime.batcher import ContinuousBatcher
         self.batcher = ContinuousBatcher(pipeline, self.inference_executor)
 
+        # live observability wiring: lanes-per-dispatch histogram, XLA
+        # compile counter, breaker-state gauge (the reference declares
+        # these series in metrics.rs:44-160; here they actually update)
+        if self.prometheus:
+            self.batcher.prometheus = self.prometheus
+            pipeline.on_compile = self.prometheus.compile_count.inc
+            self.breaker.on_state_change = \
+                lambda s: self.prometheus.circuit_state.set(s.value)
+
         # native streaming mode: one shared lane engine batches all
         # concurrent streams into a single fused chunk-step program
         self.lane_engine = None
@@ -94,5 +103,6 @@ class AppState:
             self.lane_lock = threading.Lock()
 
     def close(self) -> None:
+        self.pipeline.stop_background_warmup()
         self.inference_executor.shutdown(wait=False, cancel_futures=True)
         self.session_executor.shutdown(wait=False, cancel_futures=True)

@@ -207,6 +207,9 @@ class StreamProcessor:
     async def handle_audio_chunk(self, data: bytes) -> bool:
         """Returns True when the END control byte arrived."""
         self.is_paused = False
+        if self.state.prometheus:
+            self.state.prometheus.websocket_messages.labels(
+                direction="in").inc()
 
         if len(data) > C.MAX_WS_CHUNK_BYTES:
             raise ValueError(
@@ -277,6 +280,9 @@ class StreamProcessor:
             return
         try:
             await self.ws.send_json(response.to_json())
+            if self.state.prometheus:
+                self.state.prometheus.websocket_messages.labels(
+                    direction="out").inc()
         except ConnectionError:
             self.closed = True
 

