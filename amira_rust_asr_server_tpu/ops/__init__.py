@@ -5,7 +5,8 @@ Device-side replacement for the reference's host SIMD library
 work here) and for its three Triton-delegated model calls.
 """
 
-from .beam import (BeamResult, beam_decode, beam_decode_transducer,
+from .beam import (BeamResult, TokenTrie, beam_decode,
+                   beam_decode_transducer,
                    make_bias_vector)
 from .features import log_mel_features
 from .greedy import GreedyResult, greedy_decode, greedy_decode_transducer
@@ -17,6 +18,7 @@ __all__ = [
     "log_mel_features", "mel_filterbank", "windowed_dft_basis", "num_frames",
     "greedy_decode", "greedy_decode_transducer", "GreedyResult",
     "beam_decode", "beam_decode_transducer", "BeamResult",
+    "TokenTrie",
     "make_bias_vector", "rnnt_loss", "transducer_loss",
     "encode_chunk", "init_encoder_cache", "EncoderCache",
 ]

@@ -27,6 +27,15 @@ path is reconstructed on host from [T, S, B, K] int32 arrays.
 Biasing: an additive log-space bias vector over the vocabulary (shallow
 fusion) built host-side from phrases (:func:`make_bias_vector`) — the
 practical core of "lexicon-biased decoding" without shipping an FST.
+
+Decoding-graph constraint (k2 parity): a lexicon/grammar compiles into a
+device-resident :class:`TokenTrie` — a dense [n_states, V] transition
+table in HBM — and beam label expansions are masked to trie-legal
+continuations (the TPU-shaped equivalent of the k2 backend's
+``IntersectDensePruned`` against a DECODING_GRAPH_PATH FST,
+ref: k2_decoder_backend.cc:63-253: dense table lookups and masks instead
+of sparse FST arc traversal, so every step stays vectorized). Composes
+with the shallow-fusion bias.
 """
 
 from __future__ import annotations
@@ -46,6 +55,66 @@ NEG_INF = -1e30
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class TokenTrie:
+    """Dense device-resident decoding graph over token ids.
+
+    ``next_state[s, v]`` is the state reached from ``s`` by emitting token
+    ``v`` (-1 = illegal transition); state 0 is the root. ``is_final[s]``
+    marks states where a hypothesis may legally end. Built host-side from
+    a lexicon/grammar (:meth:`from_token_seqs`); with ``loop=True`` final
+    states also accept the root's continuations (word-loop grammar), which
+    is baked into the table so the device kernel is a single gather.
+    """
+
+    next_state: jax.Array   # [N, V] int32
+    is_final: jax.Array     # [N] bool
+
+    @classmethod
+    def from_token_seqs(cls, seqs, vocab_size: int,
+                        loop: bool = True) -> "TokenTrie":
+        """Compile token sequences (each a legal phrase/word) to a trie."""
+        children: List[dict] = [{}]   # node -> {token: child}
+        final: List[bool] = [False]
+        for seq in seqs:
+            node = 0
+            for tok in seq:
+                tok = int(tok)
+                if tok not in children[node]:
+                    children.append({})
+                    final.append(False)
+                    children[node][tok] = len(children) - 1
+                node = children[node][tok]
+            if seq:
+                final[node] = True
+        n = len(children)
+        table = np.full((n, vocab_size), -1, np.int32)
+        for node, ch in enumerate(children):
+            for tok, nxt in ch.items():
+                table[node, tok] = nxt
+        if loop:
+            # final states restart at the root: inherit root transitions
+            # where the state has no own continuation
+            root_row = table[0]
+            for node in range(n):
+                if final[node]:
+                    free = table[node] < 0
+                    table[node, free] = root_row[free]
+        return cls(next_state=jnp.asarray(table),
+                   is_final=jnp.asarray(np.asarray(final)))
+
+    @classmethod
+    def from_phrases(cls, vocab, phrases: List[str], vocab_size: int,
+                     loop: bool = True) -> "TokenTrie":
+        return cls.from_token_seqs(
+            [vocab.encode_text(p) for p in phrases], vocab_size, loop=loop)
+
+    @property
+    def n_states(self) -> int:
+        return self.next_state.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class BeamTrace:
     """Device-side output of the beam scan; host reconstructs paths."""
 
@@ -55,6 +124,8 @@ class BeamTrace:
     exp_token: jax.Array       # [T, S, B, K] emitted token
     pool_parent_s: jax.Array   # [T, B, K] micro-step the pool entry ended at
     pool_parent_k: jax.Array   # [T, B, K] hyp index within that micro-step
+    pool_final: jax.Array      # [B, K] hyp ends in a legal graph state
+                               # (all-True when no graph constrains)
 
 
 @dataclasses.dataclass
@@ -70,11 +141,16 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
                 beam_width: int = DEFAULT_BEAM_WIDTH,
                 max_expansions: int = 3,
                 bias: Optional[jax.Array] = None,
-                vocab_size: Optional[int] = None) -> BeamTrace:
+                vocab_size: Optional[int] = None,
+                graph: Optional[TokenTrie] = None) -> BeamTrace:
     """Run the device-side beam scan. See module docstring.
 
     ``init_state`` leaves must be [L, B, ...] like greedy_decode's; they are
     broadcast to [L, B*K, ...] internally (hyp-major lanes).
+
+    ``graph``: optional TokenTrie — label expansions are masked to
+    trie-legal continuations and each hypothesis carries its graph state
+    (k2 decoding-graph parity; blank/time-advance is always legal).
     """
     b, t_max, d_enc = enc.shape
     k = beam_width
@@ -95,11 +171,12 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
 
     scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
     lens0 = jnp.zeros((b, k), jnp.int32)
+    g0 = jnp.zeros((b, k), jnp.int32)  # graph root
     bias_vec = (jnp.zeros((vocab_size,), jnp.float32)
                 if bias is None else bias)
 
     def frame_step(carry, inputs):
-        scores, lens, pred_out, state, last_tok = carry
+        scores, lens, pred_out, state, last_tok, g_state = carry
         enc_t, t_idx = inputs                          # [B, D], scalar
         active = t_idx < enc_lens                      # [B]
 
@@ -111,17 +188,19 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
         pool_pred = pred_out
         pool_state = state
         pool_last = last_tok
+        pool_g = g_state
 
         exp_parents = []
         exp_tokens = []
 
-        C = (scores, lens, pred_out, state, last_tok)
+        C = (scores, lens, pred_out, state, last_tok, g_state)
         pool = (pool_scores, pool_lens, pool_pred, pool_state, pool_last,
-                pool_ps, pool_pk)
+                pool_ps, pool_pk, pool_g)
 
         for s in range(s_max):
-            (c_scores, c_lens, c_pred, c_state, c_last) = C
-            (p_scores, p_lens, p_pred, p_state, p_last, p_ps, p_pk) = pool
+            (c_scores, c_lens, c_pred, c_state, c_last, c_g) = C
+            (p_scores, p_lens, p_pred, p_state, p_last, p_ps, p_pk,
+             p_g) = pool
 
             enc_lanes = jnp.repeat(enc_t, k, axis=0)   # [B*K, D]
             logits = joint_fn(enc_lanes, c_pred)       # [B*K, V]
@@ -179,11 +258,16 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
             new_p_pred = sel_lanes(p_pred, c_pred)
             new_p_state = jax.tree_util.tree_map(sel_lanes, p_state, c_state)
             new_p_last = sel_lanes(p_last, c_last)
+            new_p_g = sel2(p_g, c_g)
             pool = (new_p_scores, new_p_lens, new_p_pred, new_p_state,
-                    new_p_last, new_p_ps, new_p_pk)
+                    new_p_last, new_p_ps, new_p_pk, new_p_g)
 
             # ---- label expansions -> next micro-step C -----------------
             lab = lp.at[:, :, blank_id].set(NEG_INF)
+            if graph is not None:
+                # decoding-graph constraint: only trie-legal continuations
+                legal = graph.next_state[c_g] >= 0          # [B, K, V]
+                lab = jnp.where(legal, lab, NEG_INF)
             cand = c_scores[:, :, None] + lab                   # [B, K, V]
             cand = jnp.where(active[:, None, None], cand, NEG_INF)
             flat = cand.reshape(b, k * v)
@@ -198,24 +282,37 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
             new_pred, new_state = pred_fn(token.reshape(-1), par_state)
 
             new_lens = jnp.take_along_axis(c_lens, parent, axis=1) + 1
-            C = (e_scores, new_lens, new_pred, new_state, token.reshape(-1))
+            if graph is not None:
+                g_parent = jnp.take_along_axis(c_g, parent, axis=1)
+                new_g = graph.next_state[g_parent, token]
+                # illegal candidates score NEG_INF and never win; clamp
+                # their state so downstream gathers stay in bounds
+                new_g = jnp.maximum(new_g, 0)
+            else:
+                new_g = c_g
+            C = (e_scores, new_lens, new_pred, new_state, token.reshape(-1),
+                 new_g)
 
             exp_parents.append(parent)
             exp_tokens.append(token)
 
-        (p_scores, p_lens, p_pred, p_state, p_last, p_ps, p_pk) = pool
+        (p_scores, p_lens, p_pred, p_state, p_last, p_ps, p_pk, p_g) = pool
         out = (jnp.stack(exp_parents), jnp.stack(exp_tokens), p_ps, p_pk)
-        return (p_scores, p_lens, p_pred, p_state, p_last), out
+        return (p_scores, p_lens, p_pred, p_state, p_last, p_g), out
 
     t_indices = jnp.arange(t_max)
     enc_tb = jnp.swapaxes(enc, 0, 1)                   # [T, B, D]
-    init = (scores0, lens0, pred_out, state, sos)
-    (scores_f, lens_f, *_), (exp_parent, exp_token, pool_ps, pool_pk) = \
+    init = (scores0, lens0, pred_out, state, sos, g0)
+    ((scores_f, lens_f, _, _, _, g_f),
+     (exp_parent, exp_token, pool_ps, pool_pk)) = \
         jax.lax.scan(frame_step, init, (enc_tb, t_indices))
 
+    pool_final = (graph.is_final[g_f] | (lens_f == 0)
+                  if graph is not None else jnp.ones((b, k), bool))
     return BeamTrace(pool_scores=scores_f, pool_lens=lens_f,
                      exp_parent=exp_parent, exp_token=exp_token,
-                     pool_parent_s=pool_ps, pool_parent_k=pool_pk)
+                     pool_parent_s=pool_ps, pool_parent_k=pool_pk,
+                     pool_final=pool_final)
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +328,11 @@ def backtrace(trace: BeamTrace, enc_lens: np.ndarray, *,
     pool_ps = np.asarray(trace.pool_parent_s)   # [T, B, K]
     pool_pk = np.asarray(trace.pool_parent_k)
     enc_lens = np.asarray(enc_lens)
+    # graph-final constraint: hypotheses stranded mid-word/mid-phrase rank
+    # below every complete one (uniform demotion keeps relative order as a
+    # fallback when no hypothesis reached a final state)
+    pool_final = np.asarray(trace.pool_final)
+    pool_scores = np.where(pool_final, pool_scores, pool_scores - 1e12)
 
     b, k = pool_scores.shape
     tokens_out = np.zeros((b, max_total), np.int32)
@@ -282,6 +384,7 @@ def beam_decode_transducer(model, params, enc, enc_lens, *,
                            beam_width: int = DEFAULT_BEAM_WIDTH,
                            max_expansions: int = 3,
                            bias: Optional[jax.Array] = None,
+                           graph: Optional[TokenTrie] = None,
                            length_penalty: float = 0.0,
                            n_best: int = 1) -> BeamResult:
     """Beam search bound to a Transducer model."""
@@ -294,7 +397,7 @@ def beam_decode_transducer(model, params, enc, enc_lens, *,
         enc, enc_lens, model.init_state(enc.shape[0], dtype=enc.dtype),
         cfg.blank_id, beam_width=beam_width,
         max_expansions=max_expansions, bias=bias,
-        vocab_size=cfg.vocab_size)
+        vocab_size=cfg.vocab_size, graph=graph)
     return backtrace(trace, np.asarray(enc_lens),
                      length_penalty=length_penalty, n_best=n_best)
 

@@ -173,6 +173,14 @@ async def handle_batch(request: web.Request) -> web.Response:
 
 async def handle_stream(request: web.Request) -> web.StreamResponse:
     state: AppState = request.app["state"]
+    if state.config.decoding_mode == "beam":
+        # beam has no carried-stream semantics (documented limitation);
+        # reject loudly instead of silently decoding each chunk fresh
+        return web.json_response(
+            {"error": "unsupported_decoding_mode",
+             "message": "streaming requires decoding_mode=greedy; "
+                        "beam serves the batch endpoint only"},
+            status=400)
     ws = web.WebSocketResponse(heartbeat=None, max_msg_size=2 * C.MAX_WS_CHUNK_BYTES)
     await ws.prepare(request)
 
