@@ -75,6 +75,10 @@ class Config:
     # fused Pallas joint+argmax decode step (TPU only); computes the joint
     # in f32 inside VMEM (slightly MORE precise than the bf16 XLA path)
     use_pallas_decode_step: bool = True
+    # the WHOLE greedy decode loop as one persistent Pallas kernel with
+    # VMEM-resident prediction-net/joint weights (TPU only; supersedes
+    # use_pallas_decode_step when on). See ops/pallas/decode_loop.py.
+    use_pallas_decode_loop: bool = True
 
     # Mesh: axis name -> size; empty means single-device (no sharding).
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
@@ -97,6 +101,10 @@ class Config:
     decoding_mode: str = "greedy"  # "greedy" | "beam"
     beam_width: int = C.DEFAULT_BEAM_WIDTH
     beam_n_best: int = 1  # >1 exposes metadata["n_best"] alternatives
+    # optional decoding-graph constraint: file of grammar phrases (one per
+    # line) compiled into a device-resident token trie that beam expansions
+    # must follow (the k2 DECODING_GRAPH_PATH analogue)
+    beam_grammar_path: Optional[str] = None
 
     # -- platform/ops knobs (parity names kept where meaningful) ------------
     enable_platform_optimizations: bool = True
@@ -168,7 +176,8 @@ class Config:
         if self.max_batch_audio_length_secs <= 0:
             raise ConfigValidationError("max_batch_audio_length_secs must be > 0")
         # Path-traversal defense (config.rs:603-629): reject parent refs.
-        for p in (self.vocabulary_path, self.checkpoint_path):
+        for p in (self.vocabulary_path, self.checkpoint_path,
+                  self.beam_grammar_path):
             if p and ".." in Path(p).parts:
                 raise ConfigValidationError(f"path traversal rejected: {p}")
         if self.inference_backend not in ("tpu", "cpu"):

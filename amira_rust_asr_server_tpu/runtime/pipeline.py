@@ -99,6 +99,18 @@ class AsrPipeline:
         self._fwd = jax.jit(
             self._forward,
             static_argnames=("max_symbols", "max_total"))
+        self._beam_fwd = jax.jit(
+            self._beam_forward,
+            static_argnames=("beam_width", "max_expansions"))
+        # optional decoding-graph constraint (k2 parity): a grammar file of
+        # phrases compiles once into a device-resident token trie
+        self.beam_graph = None
+        if cfg.beam_grammar_path:
+            from ..ops.beam import TokenTrie
+            with open(cfg.beam_grammar_path, "r", encoding="utf-8") as f:
+                phrases = [ln.strip() for ln in f if ln.strip()]
+            self.beam_graph = TokenTrie.from_phrases(
+                vocab, phrases, self.model.config.vocab_size)
 
     # ------------------------------------------------------------------
     # jitted core
@@ -119,9 +131,27 @@ class AsrPipeline:
         # hoist the joint's encoder projection out of the decode loop
         enc_pre = self.model.joint_precompute_enc(params, enc)
         state = jax.tree_util.tree_map(lambda x: x.astype(dt), state)
+        on_tpu = jax.default_backend() == "tpu"
+        if self.config.use_pallas_decode_loop and on_tpu:
+            # the whole label-looping loop in one persistent kernel:
+            # prediction-net + joint weights stay VMEM-resident across
+            # iterations instead of re-streaming ~15 MB from HBM per
+            # emitted symbol (ops/pallas/decode_loop.py)
+            from ..ops.pallas.decode_loop import greedy_loop_pallas
+            tokens, counts, frames, confs, st, p_out, last = \
+                greedy_loop_pallas(
+                    enc_pre, enc_lens, state[0], state[1],
+                    pred_out.astype(dt), last_token, token_offset,
+                    params["predictor"], params["joint"],
+                    blank_id=mcfg.blank_id, max_symbols=max_symbols,
+                    max_total=max_total,
+                    lookahead=self.config.greedy_lookahead)
+            res = GreedyResult(tokens=tokens, counts=counts,
+                               frame_idx=frames, confidence=confs,
+                               state=st, pred_out=p_out, last_token=last)
+            return res, feat_lens, enc_lens
         fused = None
-        if (self.config.use_pallas_decode_step
-                and jax.default_backend() == "tpu"):
+        if self.config.use_pallas_decode_step and on_tpu:
             from ..ops.pallas.decode_step import make_fused_step_fn
             fused = make_fused_step_fn(self.model, params)
         res = greedy_decode(
@@ -290,22 +320,43 @@ class AsrPipeline:
     # beam-search decode (ref capability: k2 backend, SURVEY.md §2.3 #24)
     # ------------------------------------------------------------------
     def decode_samples_beam(self, samples: np.ndarray, *,
-                            bias=None, n_best: int = 1):
+                            bias=None, graph=None, n_best: int = 1):
         """Beam-search decode of one utterance; returns a BeamResult."""
         res, fls, els = self.decode_beam_batch([samples], bias=bias,
-                                               n_best=n_best)
+                                               graph=graph, n_best=n_best)
         return res, fls[0], els[0]
 
+    def _beam_forward(self, params, audio, audio_lens, bias, graph, *,
+                      beam_width, max_expansions):
+        """One jitted program: mel -> encode -> beam scan (device trace).
+        ``bias``/``graph`` ride as pytree args so swapping a grammar or
+        bias vector reuses the compiled program (no recompile)."""
+        from ..ops.beam import beam_decode
+        mcfg = self.model.config
+        feats, feat_lens = log_mel_features(
+            audio, audio_lens, n_mels=mcfg.n_mels)
+        enc, enc_lens = self.model.encode(
+            params, feats.astype(self.compute_dtype), feat_lens)
+        enc_pre = self.model.joint_precompute_enc(params, enc)
+        trace = beam_decode(
+            partial(self.model.predict_step, params),
+            partial(self.model.joint_step_pre, params),
+            enc_pre, enc_lens,
+            self.model.init_state(enc.shape[0], dtype=enc.dtype),
+            mcfg.blank_id, beam_width=beam_width,
+            max_expansions=max_expansions, bias=bias,
+            vocab_size=mcfg.vocab_size, graph=graph)
+        return trace, feat_lens, enc_lens
+
     def decode_beam_batch(self, samples: Sequence[np.ndarray], *,
-                          bias=None, n_best: int = 1):
+                          bias=None, graph=None, n_best: int = 1):
         """Beam-search decode a batch (padded to shape buckets).
 
         The beam core is fully batched over (batch x beam) lanes; this
         packs requests like decode_samples_batch. Returns
         (BeamResult over all lanes, feat_lens list, enc_lens list)."""
-        from ..ops.beam import beam_decode_transducer
+        from ..ops.beam import backtrace
         cfg = self.config
-        mcfg = self.model.config
         b_real = len(samples)
         n = self._bucket_len(max(s.shape[0] for s in samples))
         b = self._bucket_batch_warm(b_real, n, "beam")
@@ -315,13 +366,12 @@ class AsrPipeline:
             m = min(s.shape[0], n)
             audio[i, :m] = s[:m]
             lens[i] = m
-        feats, feat_lens = log_mel_features(
-            jnp.asarray(audio), jnp.asarray(lens), n_mels=mcfg.n_mels)
-        enc, enc_lens = self.model.encode(
-            self.params, feats.astype(self.compute_dtype), feat_lens)
-        res = beam_decode_transducer(
-            self.model, self.params, enc, enc_lens,
-            beam_width=cfg.beam_width, bias=bias, n_best=n_best)
+        trace, feat_lens, enc_lens = self._beam_fwd(
+            self.params, jnp.asarray(audio), jnp.asarray(lens),
+            bias, graph if graph is not None else self.beam_graph,
+            beam_width=cfg.beam_width, max_expansions=3)
+        res = backtrace(trace, np.asarray(enc_lens),
+                        max_total=cfg.max_total_tokens, n_best=n_best)
         self._mark_compiled("beam", b, n)
         return (res, [int(x) for x in np.asarray(feat_lens)[:b_real]],
                 [int(x) for x in np.asarray(enc_lens)[:b_real]])

@@ -142,6 +142,61 @@ def main() -> None:
 
     ok &= check("fused pallas decode step == xla", fused_decode_check)
 
+    # 3c. whole-decode-loop Pallas kernel == XLA loop ----------------------
+    # Uses the committed digits checkpoint: a trained model's decisive
+    # logit margins make token-level equality robust to the (documented)
+    # MXU-precision differences between the HIGHEST-precision kernel and
+    # the default-precision XLA reference; random near-tie logits are not.
+    def decode_loop_check():
+        from amira_rust_asr_server_tpu.ops import log_mel_features
+        from amira_rust_asr_server_tpu.ops.pallas.decode_loop import (
+            greedy_loop_pallas)
+        from amira_rust_asr_server_tpu.testing import synth_digits
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        ckpt = repo / "model-repo" / "tiny-digits"
+        assert ckpt.exists(), "tiny-digits checkpoint missing"
+        dmodel = Transducer.from_preset("tiny")
+        dparams = dmodel.load_checkpoint(
+            str(ckpt), like=jax.jit(dmodel.init)(jax.random.PRNGKey(0)))
+        cfg = dmodel.config
+        drng = np.random.default_rng(7)
+        waves = [synth_digits(["two", "five", "nine"], noise=0.004,
+                              rng=drng),
+                 synth_digits(["one", "six"], noise=0.004, rng=drng)]
+        b, n = 2, 32000
+        audio = np.zeros((b, n), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for i, w in enumerate(waves):
+            audio[i, :len(w)] = w
+            lens[i] = len(w)
+        feats, fl = log_mel_features(jnp.asarray(audio), jnp.asarray(lens),
+                                     n_mels=cfg.n_mels)
+        enc, el = dmodel.encode(dparams, feats, fl)
+        enc_pre = dmodel.joint_precompute_enc(dparams, enc)
+        ref = greedy_decode_transducer(dmodel, dparams, enc, el)
+        h0, c0 = dmodel.init_state(b)
+        pred0, (h0, c0) = dmodel.predict_step(
+            dparams, jnp.full((b,), cfg.blank_id, jnp.int32), (h0, c0))
+        tokens, counts, frames, _, _, _, _ = greedy_loop_pallas(
+            enc_pre, el, h0, c0, pred0,
+            jnp.full((b,), cfg.blank_id, jnp.int32),
+            jnp.zeros((b,), jnp.int32), dparams["predictor"],
+            dparams["joint"], blank_id=cfg.blank_id, max_symbols=30,
+            max_total=200, interpret=dev.platform == "cpu")
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(ref.counts))
+        assert int(np.asarray(counts)[0]) == 3  # really decoded speech
+        for i in range(b):
+            n_tok = int(np.asarray(counts)[i])
+            np.testing.assert_array_equal(
+                np.asarray(tokens)[i, :n_tok],
+                np.asarray(ref.tokens)[i, :n_tok])
+            np.testing.assert_array_equal(
+                np.asarray(frames)[i, :n_tok],
+                np.asarray(ref.frame_idx)[i, :n_tok])
+
+    ok &= check("pallas decode loop == xla loop", decode_loop_check)
+
     # 4. pipeline smoke + determinism -------------------------------------
     def pipeline_check():
         vocab = Vocabulary.from_map(
