@@ -102,6 +102,39 @@ class StreamingLaneEngine:
         self._max_total = max_total
         self._max_symbols = max_symbols
 
+        # one-lane fresh values for the jitted masked reset (closure
+        # constants: all tiny — zeros cache slices + one LSTM step output)
+        fresh_cache1 = init_encoder_cache(cfg, 1, self._dtype)
+        fresh_h1 = self._fresh[0][0][:, :1]
+        fresh_c1 = self._fresh[0][1][:, :1]
+        fresh_pred1 = self._fresh[1][:1]
+
+        def reset_lane(cache, state, pred_out, last_token, lane):
+            """Reset ONE lane's device state in place (masked select on
+            device). Replaces the old full-engine host round-trip: on a
+            100-200 ms/dispatch link the D2H+H2D of every lane's cache per
+            stream connect was a multi-transfer stall that grew with
+            n_lanes x cache size."""
+            hit = jnp.arange(n_lanes) == lane  # [L]
+
+            def mask(axis, new1, old):
+                # new1 has size 1 on the lane axis; where() broadcasts it
+                shape = [1] * old.ndim
+                shape[axis] = n_lanes
+                return jnp.where(hit.reshape(shape), new1.astype(old.dtype),
+                                 old)
+
+            cache = jax.tree_util.tree_map(
+                lambda f, o: mask(0, f, o), fresh_cache1, cache)
+            state = (mask(1, fresh_h1, state[0]),
+                     mask(1, fresh_c1, state[1]))
+            pred_out = mask(0, fresh_pred1, pred_out)
+            last_token = mask(0, jnp.full((1,), cfg.blank_id, jnp.int32),
+                              last_token)
+            return cache, state, pred_out, last_token
+
+        self._reset = jax.jit(reset_lane, donate_argnums=(0, 1, 2, 3))
+
     # ------------------------------------------------------------------
     # lane lifecycle
     # ------------------------------------------------------------------
@@ -124,30 +157,12 @@ class StreamingLaneEngine:
         self.finishing[lane] = False
 
     def _reset_lane_device_state(self, lane: int) -> None:
-        """Zero one lane's device state (host-side surgical update; rare:
-        only on attach)."""
-        fresh_cache = init_encoder_cache(self.cfg, 1, self._dtype)
-
-        def put(batched, fresh):
-            arr = np.array(batched)
-            arr[lane if arr.ndim == 1 else slice(lane, lane + 1)] = \
-                np.asarray(fresh)[0] if arr.ndim == 1 else np.asarray(fresh)
-            return jnp.asarray(arr)
-
-        self.enc_cache = jax.tree_util.tree_map(
-            lambda b, f: put(b, f), self.enc_cache, fresh_cache)
-        fresh_state, fresh_pred = self._fresh
-        h = np.array(self.dec_state[0])
-        c = np.array(self.dec_state[1])
-        h[:, lane] = np.asarray(fresh_state[0])[:, lane]
-        c[:, lane] = np.asarray(fresh_state[1])[:, lane]
-        self.dec_state = (jnp.asarray(h), jnp.asarray(c))
-        p = np.array(self.pred_out)
-        p[lane] = np.asarray(fresh_pred)[lane]
-        self.pred_out = jnp.asarray(p)
-        lt = np.array(self.last_token)
-        lt[lane] = self.cfg.blank_id
-        self.last_token = jnp.asarray(lt)
+        """Reset one lane's device state: a single jitted masked-select
+        dispatch with donated carries (no host round-trips)."""
+        (self.enc_cache, self.dec_state, self.pred_out,
+         self.last_token) = self._reset(
+            self.enc_cache, self.dec_state, self.pred_out,
+            self.last_token, jnp.int32(lane))
 
     # ------------------------------------------------------------------
     def feed(self, lane: int, samples: np.ndarray,

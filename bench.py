@@ -1,14 +1,19 @@
-"""Benchmark: batch transcription real-time factor per chip.
+"""Benchmark: batch transcription real-time factor per chip + segment
+breakdown + MFU + native-streaming lane metrics.
 
 Runs the flagship end-to-end pipeline (log-mel -> conformer encoder ->
 on-device greedy RNN-T decode) on the real TPU chip and reports RTFx =
-seconds of audio transcribed per wall-clock second.
+seconds of audio transcribed per wall-clock second, plus per-segment
+device time (mel / encode / decode) and model FLOP utilization so decode-
+tail regressions are visible, not estimated.
 
 Baseline: the reference's production throughput target is 10x real-time on
 multi-core x86 + Triton GPU (ref: README.md:400, BASELINE.md), so
 vs_baseline = our_RTFx / 10.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
+Env knobs: ASR_BENCH_BATCH (default 16), ASR_BENCH_NO_PALLAS=1,
+ASR_BENCH_NO_STREAM=1 (skip the streaming-lane section).
 """
 
 from __future__ import annotations
@@ -30,18 +35,87 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+# TPU v5e (v5 lite) peak: 197 bf16 TFLOP/s per chip (394 int8 TOPS)
+PEAK_TFLOPS = float(os.environ.get("ASR_BENCH_PEAK_TFLOPS", "197"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    from amira_rust_asr_server_tpu.models import Transducer
-    from amira_rust_asr_server_tpu.ops import log_mel_features
-    from amira_rust_asr_server_tpu.ops.greedy import greedy_decode_transducer
+def timeit(fn, iters=5):
+    """Steady-state seconds/call: fn returns a device array; block once at
+    the end so per-call tunnel RTT doesn't pollute device timing. The
+    warm/compile call retries: the remote compile service occasionally
+    drops a connection mid-compile (transient; the persistent cache makes
+    the retry cheap)."""
+    for attempt in range(3):
+        try:
+            jax.block_until_ready(fn())  # compile + warm
+            break
+        except Exception as e:  # noqa: BLE001 — transient compile transport
+            if attempt == 2:
+                raise
+            log(f"compile attempt {attempt + 1} failed ({e!r}); retrying")
+            time.sleep(10)
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
 
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
+
+# ---------------------------------------------------------------------------
+# analytic FLOP model (matmul MACs x2; elementwise ignored)
+# ---------------------------------------------------------------------------
+def flops_mel(b: int, n_samples: int, n_mels: int = 128) -> float:
+    t = 1 + n_samples // 160
+    dft = 2 * t * 512 * 514          # windowed DFT as 4 hop matmuls
+    mel = 2 * t * 257 * n_mels
+    return b * (dft + mel)
+
+
+def flops_encoder(cfg, b: int, n_samples: int) -> float:
+    t = 1 + n_samples // 160
+    # subsampling convs (stride 2, kernel 5)
+    ch = cfg.subsampling_dim
+    total, t_i, in_ch = 0.0, t, cfg.n_mels
+    for _ in range(int(np.log2(cfg.subsampling_factor))):
+        t_i = (t_i + 1) // 2
+        total += 2 * t_i * 5 * in_ch * ch
+        in_ch = ch
+    tp = t_i
+    total += 2 * tp * ch * cfg.d_model  # proj
+    d, ffd = cfg.d_model, cfg.ff_expansion * cfg.d_model
+    per_tok = (2 * (2 * d * ffd + 2 * ffd * d)   # two macaron FFs
+               + 2 * d * 3 * d + 2 * d * d      # qkv + out proj
+               + 4 * tp * d                      # scores + attn@v
+               + 2 * d * 2 * d + 2 * cfg.conv_kernel * d + 2 * d * d)  # conv
+    total += cfg.n_layers * tp * per_tok
+    total += 2 * tp * d * cfg.d_enc  # out_proj
+    total += 2 * tp * cfg.d_enc * cfg.d_joint  # joint enc precompute (hoist)
+    return b * total
+
+
+def flops_decode(cfg, b: int, tp: int, counts, lookahead: int) -> float:
+    """Modeled decode-loop work: iterations ~= blank-run skips + emissions
+    (upper bound per lane; all lanes do batched work every iteration)."""
+    iters = int(np.ceil(tp / lookahead) + np.max(counts))
+    d_p, d_e, d_j, v = (cfg.d_pred, cfg.d_embed, cfg.d_joint,
+                        cfg.vocab_size)
+    # 2-layer LSTM step + joint pred-proj + fused joint over the lookahead
+    lstm = 2 * (d_e + d_p) * 4 * d_p + 2 * (d_p + d_p) * 4 * d_p
+    joint = 2 * d_p * d_j + lookahead * 2 * d_j * v
+    return iters * b * (lstm + joint)
+
+
+# ---------------------------------------------------------------------------
+def bench_batch(results: dict) -> None:
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.models import Transducer
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
 
     model = Transducer.from_preset("large")
     cfg = model.config
@@ -57,20 +131,15 @@ def main():
     params["joint"]["out"]["b"] = (
         params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
 
-    # bench the REAL serving path: the pipeline's jitted bucket program
-    # (bf16 compute, enc-projection hoist, batched greedy while_loop)
-    from amira_rust_asr_server_tpu.config import Config
-    from amira_rust_asr_server_tpu.runtime import AsrPipeline
-    from amira_rust_asr_server_tpu.vocab import Vocabulary
-
     b = int(os.environ.get("ASR_BENCH_BATCH", "16"))
     secs = 30.0
     n = int(secs * 16000)
+    use_pallas = os.environ.get("ASR_BENCH_NO_PALLAS") != "1"
     pcfg = Config(audio_sec_buckets=[secs], batch_buckets=[b],
-                  compute_dtype="bfloat16",
-                  use_pallas_mel=os.environ.get(
-                      "ASR_BENCH_NO_PALLAS") != "1")
-    vocab = Vocabulary.load("/root/reference/model-repo/vocab.txt")
+                  compute_dtype="bfloat16", use_pallas_mel=use_pallas)
+    vocab = Vocabulary.load(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "model-repo", "vocab.txt"))
     pipe = AsrPipeline(model, params, vocab, pcfg)
 
     rng = np.random.default_rng(0)
@@ -80,8 +149,9 @@ def main():
     t0 = time.time()
     res, *_ = pipe.decode_samples_batch(waves)
     jax.block_until_ready(res.counts)
+    counts = np.asarray(res.counts)
     log(f"compile+first run: {time.time()-t0:.1f}s; "
-        f"counts={np.asarray(res.counts).tolist()}")
+        f"counts={counts.tolist()}")
 
     # steady-state: time the compiled program with device-resident inputs.
     # (This dev box reaches the chip through a network tunnel, so the 15MB
@@ -96,31 +166,147 @@ def main():
     last = jax.device_put(jnp.full((b,), cfg.blank_id, jnp.int32))
     off = jax.device_put(jnp.zeros((b,), jnp.int32))
 
-    def run_once():
+    def run_full():
         r, fl, el = pipe._fwd(
             pipe.params, audio_dev, lens_dev, (h0, c0), pred0, last, off,
             max_symbols=pcfg.max_symbols_per_step,
             max_total=pcfg.max_total_tokens)
         return r.counts
 
-    jax.block_until_ready(run_once())  # compile this exact signature
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        counts = run_once()
-    jax.block_until_ready(counts)
-    wall = (time.time() - t0) / iters
+    full_s = timeit(run_full)
     audio_seconds = b * secs
-    rtfx = audio_seconds / wall
-    log(f"steady-state: {wall*1000:.1f} ms per batch of {audio_seconds:.0f}s "
-        f"audio -> RTFx {rtfx:.0f}")
+    rtfx = audio_seconds / full_s
+    log(f"steady-state: {full_s*1000:.1f} ms per batch of "
+        f"{audio_seconds:.0f}s audio -> RTFx {rtfx:.0f}")
 
-    print(json.dumps({
+    # -- segment programs: mel-only, then mel+encode(+joint hoist) ---------
+    if use_pallas and jax.default_backend() == "tpu":
+        from amira_rust_asr_server_tpu.ops.pallas.mel_kernel import \
+            log_mel_features_pallas as mel_fn
+    else:
+        from amira_rust_asr_server_tpu.ops import log_mel_features as mel_fn
+
+    @jax.jit
+    def run_mel(audio, lens):
+        feats, fl = mel_fn(audio, lens, n_mels=cfg.n_mels)
+        return feats
+
+    @jax.jit
+    def run_encode(audio, lens):
+        feats, fl = mel_fn(audio, lens, n_mels=cfg.n_mels)
+        enc, el = model.encode(pipe.params, feats.astype(jnp.bfloat16), fl)
+        return model.joint_precompute_enc(pipe.params, enc)
+
+    results.update({
         "metric": "batch_rtfx_per_chip",
         "value": round(rtfx, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 10.0, 2),
-    }))
+        "batch": b,
+    })
+
+    # -- MFU (model FLOPs over the measured e2e wall) ------------------------
+    f_mel = flops_mel(b, n, cfg.n_mels)
+    f_enc = flops_encoder(cfg, b, n)
+    tp = int(np.ceil((1 + n // 160) / cfg.subsampling_factor))
+    f_dec = flops_decode(cfg, b, tp, counts, pcfg.greedy_lookahead)
+    mfu_e2e = (f_mel + f_enc + f_dec) / full_s / (PEAK_TFLOPS * 1e12)
+    log(f"model TFLOP: mel {f_mel/1e12:.2f} enc {f_enc/1e12:.2f} "
+        f"dec {f_dec/1e12:.2f} | MFU e2e {mfu_e2e:.1%}")
+    results.update({"mfu_e2e": round(mfu_e2e, 3),
+                    "peak_tflops": PEAK_TFLOPS})
+
+    # -- segment breakdown (separate compiles; never blocks the headline) ----
+    try:
+        mel_s = timeit(lambda: run_mel(audio_dev, lens_dev))
+        enc_s = timeit(lambda: run_encode(audio_dev, lens_dev))
+        encode_s = max(enc_s - mel_s, 0.0)
+        decode_s = max(full_s - enc_s, 0.0)
+        mfu_enc = f_enc / max(enc_s - mel_s, 1e-9) / (PEAK_TFLOPS * 1e12)
+        log(f"segments: mel {mel_s*1e3:.1f} ms | encode "
+            f"{encode_s*1e3:.1f} ms | decode {decode_s*1e3:.1f} ms | "
+            f"MFU enc {mfu_enc:.1%}")
+        results.update({
+            "segments_ms": {"mel": round(mel_s * 1e3, 2),
+                            "encode": round(encode_s * 1e3, 2),
+                            "decode": round(decode_s * 1e3, 2)},
+            "mfu_encode": round(mfu_enc, 3),
+        })
+    except Exception as e:  # noqa: BLE001
+        log(f"segment bench failed: {e!r}")
+
+
+# ---------------------------------------------------------------------------
+def bench_streaming(results: dict) -> None:
+    """Native streaming lanes: steady-state fused chunk-step latency and
+    the implied real-time stream capacity per chip."""
+    from amira_rust_asr_server_tpu.models import Transducer
+    from amira_rust_asr_server_tpu.runtime.lane_engine import \
+        StreamingLaneEngine
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+    model = Transducer.from_preset("large-streaming")
+    cfg = model.config
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    params["joint"]["out"]["b"] = (
+        params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
+    cast = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, p))
+    params = cast(params)
+
+    lanes = int(os.environ.get("ASR_BENCH_LANES", "16"))
+    chunk_frames = 64  # 64 mel frames = 0.64 s of audio per chunk
+    engine = StreamingLaneEngine(model, params, Vocabulary.from_map({}),
+                                 n_lanes=lanes, chunk_frames=chunk_frames)
+
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(
+        rng.standard_normal((lanes, cfg.n_mels, chunk_frames)) * 0.3,
+        jnp.bfloat16)
+    active = jnp.ones((lanes,), bool)
+    enc_lens = jnp.full((lanes,), chunk_frames // cfg.subsampling_factor,
+                        jnp.int32)
+    off = jnp.zeros((lanes,), jnp.int32)
+
+    state = {"cache": engine.enc_cache, "dec": engine.dec_state,
+             "pred": engine.pred_out, "last": engine.last_token}
+
+    def run_step():
+        cache2, res = engine._step(
+            engine.params, feats, active, enc_lens, state["cache"],
+            state["dec"], state["pred"], state["last"], off)
+        state["cache"] = cache2
+        return res.counts
+
+    t0 = time.time()
+    jax.block_until_ready(run_step())
+    log(f"stream step compile+first: {time.time()-t0:.1f}s")
+    step_s = timeit(run_step)
+    chunk_audio_s = chunk_frames * 160 / 16000.0
+    capacity = int(lanes * chunk_audio_s / step_s)
+    log(f"stream: {step_s*1e3:.2f} ms per {lanes}-lane chunk step "
+        f"({chunk_audio_s:.2f}s audio/lane) -> ~{capacity} "
+        f"real-time streams/chip")
+    results.update({
+        "stream_chunk_ms": round(step_s * 1e3, 2),
+        "stream_lanes": lanes,
+        "stream_chunk_audio_s": chunk_audio_s,
+        "streams_per_chip_realtime": capacity,
+    })
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    results: dict = {}
+    bench_batch(results)
+    if os.environ.get("ASR_BENCH_NO_STREAM") != "1":
+        try:
+            bench_streaming(results)
+        except Exception as e:  # noqa: BLE001 — streaming never blocks the
+            log(f"streaming bench failed: {e!r}")  # headline artifact
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
