@@ -18,8 +18,10 @@ ASR_BENCH_NO_STREAM=1 (skip the streaming-lane section).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
 
@@ -41,6 +43,28 @@ PEAK_TFLOPS = float(os.environ.get("ASR_BENCH_PEAK_TFLOPS", "197"))
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def deadline(seconds: int, what: str):
+    """Hard wall-clock cap on an optional bench section. The remote compile
+    service occasionally wedges mid-compile for tens of minutes; optional
+    sections (segments, streaming) must never hang the headline artifact.
+    SIGALRM interrupts the blocked compile wait in the main thread."""
+    def on_alarm(signum, frame):
+        raise _SectionTimeout(f"{what} exceeded {seconds}s")
+
+    prev = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 def timeit(fn, iters=5):
@@ -218,8 +242,10 @@ def bench_batch(results: dict) -> None:
 
     # -- segment breakdown (separate compiles; never blocks the headline) ----
     try:
-        mel_s = timeit(lambda: run_mel(audio_dev, lens_dev))
-        enc_s = timeit(lambda: run_encode(audio_dev, lens_dev))
+        with deadline(int(os.environ.get("ASR_BENCH_SEG_TIMEOUT", "1200")),
+                      "segment bench"):
+            mel_s = timeit(lambda: run_mel(audio_dev, lens_dev))
+            enc_s = timeit(lambda: run_encode(audio_dev, lens_dev))
         encode_s = max(enc_s - mel_s, 0.0)
         decode_s = max(full_s - enc_s, 0.0)
         mfu_enc = f_enc / max(enc_s - mel_s, 1e-9) / (PEAK_TFLOPS * 1e12)
@@ -232,7 +258,7 @@ def bench_batch(results: dict) -> None:
                             "decode": round(decode_s * 1e3, 2)},
             "mfu_encode": round(mfu_enc, 3),
         })
-    except Exception as e:  # noqa: BLE001
+    except (Exception, _SectionTimeout) as e:  # noqa: BLE001
         log(f"segment bench failed: {e!r}")
 
 
@@ -302,10 +328,13 @@ def main():
     results: dict = {}
     bench_batch(results)
     if os.environ.get("ASR_BENCH_NO_STREAM") != "1":
-        try:
-            bench_streaming(results)
-        except Exception as e:  # noqa: BLE001 — streaming never blocks the
-            log(f"streaming bench failed: {e!r}")  # headline artifact
+        try:  # streaming never blocks the headline artifact
+            with deadline(
+                    int(os.environ.get("ASR_BENCH_STREAM_TIMEOUT", "1800")),
+                    "streaming bench"):
+                bench_streaming(results)
+        except (Exception, _SectionTimeout) as e:  # noqa: BLE001
+            log(f"streaming bench failed: {e!r}")
     print(json.dumps(results))
 
 
