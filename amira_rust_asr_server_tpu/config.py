@@ -58,6 +58,9 @@ class Config:
     model_preset: str = "large"  # see models/presets.py
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # "int8": encoder dense matmuls run W8A8 dynamic quant on the int8 MXU
+    # path (2x bf16 peak on v5e; ops/quant.py). Decode/joint stay bf16.
+    quantization: str = "none"  # "none" | "int8"
 
     # Continuous batching: padded shape buckets to bound XLA recompiles.
     batch_buckets: List[int] = dataclasses.field(default_factory=lambda: [1, 2, 4, 8, 16])
@@ -186,6 +189,9 @@ class Config:
         if self.decoding_mode not in ("greedy", "beam"):
             raise ConfigValidationError(
                 f"decoding_mode must be greedy|beam: {self.decoding_mode}")
+        if self.quantization not in ("none", "int8"):
+            raise ConfigValidationError(
+                f"quantization must be none|int8: {self.quantization}")
         if self.streaming_mode not in ("chunked", "native"):
             raise ConfigValidationError(
                 f"streaming_mode must be chunked|native: "

@@ -57,6 +57,30 @@ def _rope(x: jax.Array, pos_offset=0) -> jax.Array:
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+class QDense(nn.Module):
+    """Dense layer with an optional int8 (W8A8 dynamic) serving path.
+
+    Param structure and init are identical to ``nn.Dense`` (names
+    "kernel"/"bias", lecun-normal/zeros), so checkpoints and the training
+    path are byte-compatible; ``quant=True`` (from
+    ``ModelConfig.quant_int8``) reroutes the matmul through the int8 MXU
+    (2x bf16 peak on v5e — see ops/quant.py)."""
+
+    features: int
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.quant:
+            from ..ops.quant import quant_dense
+            return quant_dense(x, kernel, bias)
+        return jnp.dot(x, kernel) + bias
+
+
 class MHSA(nn.Module):
     """Multi-head self-attention with RoPE and padding/band masks."""
 
@@ -69,7 +93,7 @@ class MHSA(nn.Module):
         h = cfg.n_heads
         dh = d // h
 
-        qkv = nn.Dense(3 * d, use_bias=True, name="qkv")(x)
+        qkv = QDense(3 * d, quant=cfg.quant_int8, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
@@ -100,7 +124,7 @@ class MHSA(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, name="out")(out)
+        return QDense(d, quant=cfg.quant_int8, name="out")(out)
 
 
 class ConvModule(nn.Module):
@@ -112,7 +136,7 @@ class ConvModule(nn.Module):
     def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
         cfg = self.config
         d = x.shape[-1]
-        x = nn.Dense(2 * d, name="pw1")(x)
+        x = QDense(2 * d, quant=cfg.quant_int8, name="pw1")(x)
         x = nn.glu(x, axis=-1)
         # zero padded positions so the depthwise conv doesn't smear them in
         x = jnp.where(pad_mask[:, :, None], x, 0.0)
@@ -124,7 +148,7 @@ class ConvModule(nn.Module):
         # reduction over the (padded) time axis -> batch-padding invariant
         x = nn.LayerNorm(name="norm")(x)
         x = nn.silu(x)
-        return nn.Dense(d, name="pw2")(x)
+        return QDense(d, quant=cfg.quant_int8, name="pw2")(x)
 
 
 class FeedForward(nn.Module):
@@ -134,9 +158,9 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         d = x.shape[-1]
-        x = nn.Dense(cfg.ff_expansion * d, name="w1")(x)
+        x = QDense(cfg.ff_expansion * d, quant=cfg.quant_int8, name="w1")(x)
         x = nn.silu(x)
-        return nn.Dense(d, name="w2")(x)
+        return QDense(d, quant=cfg.quant_int8, name="w2")(x)
 
 
 class ConformerBlock(nn.Module):

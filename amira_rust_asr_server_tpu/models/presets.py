@@ -38,6 +38,10 @@ class ModelConfig:
     # rematerialize each conformer block in the backward pass (training
     # memory for FLOPs trade; no effect on inference)
     remat: bool = False
+    # serving-only: route encoder dense matmuls through the int8 MXU path
+    # (W8A8 dynamic quant, ops/quant.py). Param pytree is unchanged;
+    # checkpoints load as-is. Set via Config.quantization="int8".
+    quant_int8: bool = False
 
     # prediction network
     d_pred: int = DECODER_STATE_SIZE  # LSTM hidden (contract: 640)

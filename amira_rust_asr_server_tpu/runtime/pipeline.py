@@ -63,6 +63,12 @@ class AsrPipeline:
         self.vocab = vocab
         self.config = config or Config()
         cfg = self.config
+        if cfg.quantization == "int8" and not model.config.quant_int8:
+            # serving-only flag flip: param pytree is unchanged, so the
+            # already-loaded params apply as-is (encoder.QDense)
+            self.model = model = dataclasses.replace(
+                model, config=dataclasses.replace(
+                    model.config, quant_int8=True))
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import shard_params

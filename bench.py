@@ -19,6 +19,7 @@ ASR_BENCH_NO_STREAM=1 (skip the streaming-lane section).
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import json
 import os
 import signal
@@ -215,11 +216,14 @@ def bench_batch(results: dict) -> None:
         feats, fl = mel_fn(audio, lens, n_mels=cfg.n_mels)
         return feats
 
+    # params MUST be a traced argument: closing over them bakes ~840MB of
+    # constants into the HLO, which the remote compile service rejects
+    # (HTTP 413 "length limit exceeded")
     @jax.jit
-    def run_encode(audio, lens):
+    def run_encode(p, audio, lens):
         feats, fl = mel_fn(audio, lens, n_mels=cfg.n_mels)
-        enc, el = model.encode(pipe.params, feats.astype(jnp.bfloat16), fl)
-        return model.joint_precompute_enc(pipe.params, enc)
+        enc, el = pipe.model.encode(p, feats.astype(jnp.bfloat16), fl)
+        return pipe.model.joint_precompute_enc(p, enc)
 
     results.update({
         "metric": "batch_rtfx_per_chip",
@@ -245,7 +249,8 @@ def bench_batch(results: dict) -> None:
         with deadline(int(os.environ.get("ASR_BENCH_SEG_TIMEOUT", "1200")),
                       "segment bench"):
             mel_s = timeit(lambda: run_mel(audio_dev, lens_dev))
-            enc_s = timeit(lambda: run_encode(audio_dev, lens_dev))
+            enc_s = timeit(lambda: run_encode(pipe.params, audio_dev,
+                                              lens_dev))
         encode_s = max(enc_s - mel_s, 0.0)
         decode_s = max(full_s - enc_s, 0.0)
         mfu_enc = f_enc / max(enc_s - mel_s, 1e-9) / (PEAK_TFLOPS * 1e12)
@@ -260,6 +265,47 @@ def bench_batch(results: dict) -> None:
         })
     except (Exception, _SectionTimeout) as e:  # noqa: BLE001
         log(f"segment bench failed: {e!r}")
+
+    # -- int8 (W8A8 dynamic) serving config ----------------------------------
+    # Encoder dense matmuls ride the int8 MXU path (2x bf16 peak on v5e);
+    # golden-transcript tests (tests/test_quant.py) lock that served text
+    # survives quantization. Headline takes the faster of the two configs.
+    if os.environ.get("ASR_BENCH_NO_INT8") == "1":
+        return
+    try:
+        with deadline(int(os.environ.get("ASR_BENCH_INT8_TIMEOUT", "1200")),
+                      "int8 bench"):
+            qcfg = dataclasses.replace(pcfg, quantization="int8")
+            pipe_q = AsrPipeline(model, params, vocab, qcfg)
+
+            def run_q():
+                r, fl, el = pipe_q._fwd(
+                    pipe_q.params, audio_dev, lens_dev, (h0, c0), pred0,
+                    last, off, max_symbols=qcfg.max_symbols_per_step,
+                    max_total=qcfg.max_total_tokens)
+                return r.counts
+
+            t0 = time.time()
+            jax.block_until_ready(run_q())
+            log(f"int8 compile+first: {time.time()-t0:.1f}s")
+            q_s = timeit(run_q)
+            rtfx_q = audio_seconds / q_s
+            log(f"int8 steady-state: {q_s*1000:.1f} ms -> RTFx {rtfx_q:.0f}"
+                f" (bf16: {rtfx:.0f})")
+            results["rtfx_int8"] = round(rtfx_q, 1)
+            if rtfx_q > rtfx:
+                results.update({
+                    "value": round(rtfx_q, 1),
+                    "vs_baseline": round(rtfx_q / 10.0, 2),
+                    "quantization": "int8",
+                    "rtfx_bf16": round(rtfx, 1),
+                    "mfu_e2e": round((f_mel + f_enc + f_dec) / q_s
+                                     / (PEAK_TFLOPS * 1e12), 3),
+                })
+            else:
+                results["quantization"] = "none"
+    except (Exception, _SectionTimeout) as e:  # noqa: BLE001
+        log(f"int8 bench failed: {e!r}")
 
 
 # ---------------------------------------------------------------------------
