@@ -102,6 +102,28 @@ def num_frames(n_samples: int, hop_length: int = HOP_LENGTH) -> int:
 
 
 @functools.lru_cache(maxsize=8)
+def frame_dft_basis_padded(n_fft: int = N_FFT, win_length: int = WIN_LENGTH,
+                           frame_len: int = 4 * HOP_LENGTH,
+                           lane_pad: int = 384) -> np.ndarray:
+    """Windowed DFT basis over full frames: [frame_len, 2*lane_pad].
+
+    Used by the phase-major Pallas mel kernel: with hop=160, frames
+    t = p (mod 4) start 640 apart, so per-phase framing is a pure reshape
+    to rows of ``frame_len``=640 (= 5x128, lane-aligned, no padding waste)
+    and the whole STFT is ONE [TB, 640] x [640, 768] matmul. Rows
+    n_fft..frame_len and frequency columns past n_fft//2+1 are zero.
+    Layout: [:, :lane_pad]=real, [:, lane_pad:]=imag.
+    """
+    assert n_fft <= frame_len
+    base = windowed_dft_basis(n_fft, win_length)
+    n_freqs = n_fft // 2 + 1
+    out = np.zeros((frame_len, 2 * lane_pad), np.float32)
+    out[:n_fft, :n_freqs] = base[:, :n_freqs]
+    out[:n_fft, lane_pad:lane_pad + n_freqs] = base[:, n_freqs:]
+    return out
+
+
+@functools.lru_cache(maxsize=8)
 def hop_dft_basis_padded(n_fft: int = N_FFT, win_length: int = WIN_LENGTH,
                          hop_length: int = HOP_LENGTH,
                          lane_pad: int = 384,

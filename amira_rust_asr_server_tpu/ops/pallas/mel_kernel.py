@@ -1,22 +1,25 @@
-"""Fused log-mel spectrogram Pallas kernel.
+"""Fused log-mel spectrogram Pallas kernel (phase-major framing).
 
 BASELINE config #2: "Log-mel preprocessor as standalone Pallas
 FFT/filterbank kernel". One kernel fuses, per block of 256 frames:
 
-    hop-aligned framing (4 row-slices, no gather)
-      -> windowed-DFT matmul on the MXU  [256,640] x [640,768]
+    windowed-DFT matmul on the MXU  [256, 640] x [640, 768]
       -> power spectrum (VPU)
-      -> mel filterbank matmul           [256,384] x [384,128]
+      -> mel filterbank matmul      [256, 384] x [384, 128]
       -> log (VPU)
 
-The waveform is viewed as hop-rows [B, N/hop, hop]; each grid step DMAs
-its (overlapping) row-slice into VMEM explicitly — overlapping blocks are
-exactly what BlockSpec index maps can't express, hence the manual async
-copy. All matmul dims are lane-aligned (640 = 5x128, 768 = 6x128,
-384 = 3x128, 128 mels).
+Framing insight: with hop=160, frames t = p (mod 4) start exactly 640
+apart, so splitting frames by phase p in 0..3 turns framing into a PURE
+RESHAPE of the (shifted) padded waveform to rows of 640 = 5x128 — every
+matmul dimension is lane-aligned with zero padding waste and the STFT is
+a single matmul. (The previous hop-row decomposition summed 4 shifted
+[256, 256-pad] x [256-pad, 768] matmuls: ~6x the f32 FLOPs from sublane/
+lane padding — measured 7.9 ms of a 40 ms flagship batch. This layout
+does the same math in ~53 GFLOP for B=16 x 30 s.)
 
 Numerical contract: identical math to ops.features.log_mel_features up to
-f32 association order (tested to ~1e-4 absolute in log space).
+f32 association order (tested to ~1e-4 absolute in log space; the DFT
+matmul carries precision=HIGHEST).
 """
 
 from __future__ import annotations
@@ -30,87 +33,61 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import (HOP_LENGTH, LOG_GUARD, N_FFT, N_MELS, PREEMPHASIS,
                           WIN_LENGTH)
-from ..mel import hop_dft_basis_padded, mel_filterbank_padded
+from ..mel import frame_dft_basis_padded, mel_filterbank_padded
 
 FRAMES_PER_BLOCK = 256
-LANE_PAD = 384  # padded frequency lanes (257 -> 3x128)
-ROW_PAD = 256   # hop rows lane-padded 160 -> 2x128
+LANE_PAD = 384            # padded frequency lanes (257 -> 3x128)
+FRAME_LEN = 4 * HOP_LENGTH  # 640 = 5x128: phase-major frame rows
 
 
-def _mel_block_kernel(x_hbm, basis_ref, fb_ref, out_ref, scratch, sem):
-    """One (batch row, frame block): DMA rows -> DFT -> power -> mel."""
-    b = pl.program_id(0)
-    blk = pl.program_id(1)
-    tb = FRAMES_PER_BLOCK
-
-    # copy tb+8 rows (sublane-aligned; only tb+3 are consumed)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(blk * tb, tb + 8), :], scratch, sem)
-    dma.start()
-    dma.wait()
-
-    # frame t = hop-rows t..t+3 (window zero-padded to 4*hop). Mosaic can't
-    # concatenate row-shifted slices, so the DFT matmul is decomposed into
-    # 4 shifted [TB, ROW_PAD] x [ROW_PAD, 2P] matmuls summed — same FLOPs,
-    # every dimension tile-aligned (rows lane-padded 160->256 with matching
-    # zero basis rows).
-    rows = scratch[:]
-    spec = jnp.zeros((tb, 2 * LANE_PAD), jnp.float32)
-    for j in range(4):
-        # sublane-offset slices miscompile in Mosaic; roll to offset 0
-        # (supported relayout; shift must be positive) then take the
-        # aligned [0:tb] slice
-        shifted = pltpu.roll(rows, rows.shape[0] - j, 0) if j else rows
-        spec += jnp.dot(shifted[:tb, :], basis_ref[j],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [TB, 2*P]
+def _mel_block_kernel(x_ref, basis_ref, fb_ref, out_ref):
+    """One (batch, phase, frame-block): DFT matmul -> power -> mel -> log."""
+    frames = x_ref[0, 0]                                   # [TB, 640] f32
+    spec = jnp.dot(frames, basis_ref[:],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)    # [TB, 2*P]
     real = spec[:, :LANE_PAD]
     imag = spec[:, LANE_PAD:]
-    power = real * real + imag * imag                      # [TB, P]
-
+    power = real * real + imag * imag
     mel = jnp.dot(power, fb_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)     # [TB, n_mels]
-    out_ref[0] = jnp.log(mel + LOG_GUARD)
+    out_ref[0, 0] = jnp.log(mel + LOG_GUARD)
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))
-def log_mel_pallas(x_rows: jax.Array, n_mels: int = N_MELS,
+def log_mel_pallas(x_phases: jax.Array, n_mels: int = N_MELS,
                    interpret: bool = False) -> jax.Array:
-    """Raw fused log-mel over hop-row-major signal [B, rows, ROW_PAD].
+    """Raw fused log-mel over phase-major frame rows.
 
-    ``rows`` must be >= ceil(T/256)*256 + 8. Returns unnormalized
-    [B, n_blocks*256, n_mels]; the caller slices to the true frame count
-    and applies masked normalization.
+    ``x_phases``: [B, 4, R, FRAME_LEN] f32 where row (b, p, r) holds the
+    640 samples starting at padded-waveform offset p*hop + r*640 (frame
+    t = 4r + p); R must be a multiple of FRAMES_PER_BLOCK. Returns
+    unnormalized [B, 4, R, n_mels]; the caller interleaves phases back to
+    frame order and applies masked normalization.
     """
-    b, n_rows, row_pad = x_rows.shape
-    assert row_pad == ROW_PAD
+    b, n_phase, r, fl = x_phases.shape
+    assert n_phase == 4 and fl == FRAME_LEN and r % FRAMES_PER_BLOCK == 0
     tb = FRAMES_PER_BLOCK
-    n_blocks = (n_rows - 8) // tb
-    basis = jnp.asarray(hop_dft_basis_padded(N_FFT, WIN_LENGTH, HOP_LENGTH,
-                                             LANE_PAD, ROW_PAD))
+    basis = jnp.asarray(frame_dft_basis_padded(N_FFT, WIN_LENGTH, FRAME_LEN,
+                                               LANE_PAD))
     fb = jnp.asarray(mel_filterbank_padded(n_mels, N_FFT, LANE_PAD))
 
     return pl.pallas_call(
         _mel_block_kernel,
-        grid=(b, n_blocks),
+        grid=(b, 4, r // tb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # waveform rows stay in HBM
-            pl.BlockSpec((4, ROW_PAD, 2 * LANE_PAD),
-                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE_PAD, n_mels),
-                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb, FRAME_LEN), lambda i, p, j: (i, p, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # basis resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # filterbank resident
         ],
-        out_specs=pl.BlockSpec((1, tb, n_mels), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, 1, tb, n_mels),
+                               lambda i, p, j: (i, p, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks * tb, n_mels),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tb + 8, ROW_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, 4, r, n_mels), jnp.float32),
         interpret=interpret,
-    )(x_rows, basis, fb)
+    )(x_phases, basis, fb)
 
 
 def log_mel_features_pallas(waveforms: jax.Array, waveforms_lens: jax.Array,
@@ -133,21 +110,21 @@ def log_mel_features_pallas(waveforms: jax.Array, waveforms_lens: jax.Array,
     x = jnp.pad(x, ((0, 0), (pad, 0)), mode="reflect")
     x = jnp.pad(x, ((0, 0), (0, pad)), mode="constant")
 
-    # hop-row layout, extended so the last block's DMA stays in bounds
+    # phase-major frame rows: R rows of 640 per phase, R a block multiple
     tb = FRAMES_PER_BLOCK
-    n_blocks = -(-t_frames // tb)
-    need_rows = n_blocks * tb + 8
-    need = need_rows * hop
+    r_min = -(-t_frames // 4)            # ceil(T/4) rows per phase
+    r_rows = -(-r_min // tb) * tb        # rounded up to a block multiple
+    need = 3 * hop + r_rows * FRAME_LEN
     if x.shape[1] < need:
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
-    else:
-        x = x[:, :need]
-    x_rows = x.reshape(b, need_rows, hop)
-    # lane-pad each hop row 160 -> ROW_PAD (basis has matching zero rows)
-    x_rows = jnp.pad(x_rows, ((0, 0), (0, 0), (0, ROW_PAD - hop)))
+    phases = jnp.stack(
+        [x[:, p * hop:p * hop + r_rows * FRAME_LEN]
+         .reshape(b, r_rows, FRAME_LEN) for p in range(4)], axis=1)
 
-    log_mel = log_mel_pallas(x_rows, n_mels=n_mels,
-                             interpret=interpret)[:, :t_frames]  # [B,T,M]
+    mel_pm = log_mel_pallas(phases, n_mels=n_mels,
+                            interpret=interpret)       # [B, 4, R, M]
+    log_mel = mel_pm.transpose(0, 2, 1, 3).reshape(
+        b, 4 * r_rows, n_mels)[:, :t_frames]           # [B, T, M]
 
     feat_lens = (1 + waveforms_lens // hop).astype(jnp.int32)
     valid = jnp.arange(t_frames)[None, :] < feat_lens[:, None]

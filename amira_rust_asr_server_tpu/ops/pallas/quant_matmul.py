@@ -42,6 +42,14 @@ def _kernel(x_ref, wq_ref, ws_ref, b_ref, out_ref):
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+# Encoder weights are all <= ~4 MB as int8 (1024x4096 worst), so the whole
+# weight stays VMEM-resident for the kernel's lifetime and the grid runs
+# over M only: x, wq and out each cross HBM exactly ONCE (the tiled 2-D
+# grid variant re-fetched wq per M-tile and was HBM-bound at ~1.2x bf16;
+# this layout is compute-bound at the int8 MXU rate).
+_WQ_VMEM_LIMIT = 6 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def quant_matmul_pallas(x: jax.Array, wq: jax.Array, w_scale: jax.Array,
                         bias: jax.Array, *, interpret: bool = False
@@ -50,6 +58,27 @@ def quant_matmul_pallas(x: jax.Array, wq: jax.Array, w_scale: jax.Array,
     -> [M, N] x.dtype.  Requires K % 128 == 0 and N % 128 == 0."""
     m, k = x.shape
     n = wq.shape[1]
+    if k * n <= _WQ_VMEM_LIMIT:
+        # whole weight resident; TM=256 keeps x/out double-buffers + the
+        # int32 accumulator value inside the ~16 MB VMEM budget
+        tm = 256
+        return pl.pallas_call(
+            _kernel,
+            grid=(pl.cdiv(m, tm),),
+            in_specs=[
+                pl.BlockSpec((tm, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+            interpret=interpret,
+        )(x, wq, w_scale.astype(jnp.float32)[None, :],
+          bias.astype(jnp.float32)[None, :])
+    # fallback: 2-D tiled grid for weights too big to pin
     tm = 512 if k <= 2048 else 256
     tn = 1024 if n % 1024 == 0 else 512 if n % 512 == 0 else n
     grid = (pl.cdiv(m, tm), pl.cdiv(n, tn))

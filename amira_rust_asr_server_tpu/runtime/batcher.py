@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import asyncio
 import threading
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -163,10 +164,21 @@ class ContinuousBatcher:
             out.extend(group[i:i + cap] for i in range(0, len(group), cap))
         return out
 
+    def queue_depth(self) -> int:
+        """Pending admissions (prometheus asr_inference_queue_depth)."""
+        return self._queue.qsize()
+
     def _record_dispatch(self, lanes: int) -> None:
         self.stats.record(lanes)
         if self.prometheus is not None:
             self.prometheus.batch_lanes.observe(lanes)
+
+    def _observe_device(self, program: str, duration_s: float,
+                        ok: bool) -> None:
+        """Per-XLA-dispatch telemetry (the reference's triton_inference_*
+        series, metrics.rs:74-90)."""
+        if self.prometheus is not None:
+            self.prometheus.observe_dispatch(program, duration_s, ok)
 
     async def _dispatch(self, batch) -> None:
         if self.pipeline.config.decoding_mode == "beam":
@@ -184,6 +196,7 @@ class ContinuousBatcher:
             samples = [item[0] for item in group]
             states = [item[1] for item in group]
             futures = [item[2] for item in group]
+            t0 = time.perf_counter()
             try:
                 # transient device/runtime errors retry with backoff
                 # (ref: ErrorRecoveryManager, async_patterns.rs:152-192)
@@ -193,10 +206,13 @@ class ContinuousBatcher:
                         self.pipeline.decode_samples_batch,
                         samples, states))
             except Exception as e:  # noqa: BLE001 — fan the error out
+                self._observe_device("greedy", time.perf_counter() - t0,
+                                     ok=False)
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
+            self._observe_device("greedy", time.perf_counter() - t0, ok=True)
             self._record_dispatch(len(group))
             for i, fut in enumerate(futures):
                 if fut.done():
@@ -223,6 +239,7 @@ class ContinuousBatcher:
         for group in groups:
             samples = [item[0] for item in group]
             futures = [item[2] for item in group]
+            t0 = time.perf_counter()
             try:
                 res, feat_lens, enc_lens = await self._retry.run(
                     lambda: loop.run_in_executor(
@@ -230,10 +247,13 @@ class ContinuousBatcher:
                         lambda: self.pipeline.decode_beam_batch(
                             samples, n_best=cfg.beam_n_best)))
             except Exception as e:  # noqa: BLE001
+                self._observe_device("beam", time.perf_counter() - t0,
+                                     ok=False)
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
+            self._observe_device("beam", time.perf_counter() - t0, ok=True)
             self._record_dispatch(len(group))
             vocab = self.pipeline.vocab
             for i, fut in enumerate(futures):

@@ -128,7 +128,12 @@ async def handle_batch(request: web.Request) -> web.Response:
                 # greedy AND beam requests ride the continuous batcher
                 # (the batcher dispatches per the configured decoding mode)
                 from ..audio import pcm16_bytes_to_f32
+                tc = time.perf_counter()
                 samples = pcm16_bytes_to_f32(audio)
+                if state.prometheus:
+                    state.prometheus.audio_conversion.observe(
+                        time.perf_counter() - tc)
+                    state.prometheus.audio_chunk_bytes.observe(len(audio))
                 tr, _ = await state.breaker.call_async(
                     asyncio.wait_for(
                         state.batcher.submit(samples), budget))
@@ -156,6 +161,9 @@ async def handle_batch(request: web.Request) -> web.Response:
         return web.json_response(response.to_json())
     except asyncio.TimeoutError:
         state.metrics.record_error()
+        if state.prometheus:
+            state.prometheus.observe_request("batch", "error",
+                                             error="timeout")
         return web.json_response(
             {"error": "inference_timeout", "message": "inference timed out"},
             status=504)
@@ -164,7 +172,11 @@ async def handle_batch(request: web.Request) -> web.Response:
             log.exception("batch handler error")
         state.metrics.record_error()
         if state.prometheus:
-            state.prometheus.observe_request("batch", "error")
+            from ..errors import CircuitOpenError
+            if isinstance(e, CircuitOpenError):
+                state.prometheus.breaker_rejections.inc()
+            state.prometheus.observe_request(
+                "batch", "error", error=type(e).__name__)
         return error_response(e)
     finally:
         state.metrics.decrement_batch()
@@ -191,6 +203,9 @@ async def handle_stream(request: web.Request) -> web.StreamResponse:
         return ws
 
     state.metrics.increment_stream()
+    if state.prometheus:
+        state.prometheus.ws_connections.inc()
+        state.prometheus.ws_active.inc()
     processor = StreamProcessor(ws, state)
     stream_id = processor.stream_id
     state.active_streams[stream_id] = processor
@@ -203,6 +218,8 @@ async def handle_stream(request: web.Request) -> web.StreamResponse:
         # RAII-style cleanup (ref: StreamCleanupGuard, handlers.rs:26-41)
         state.active_streams.pop(stream_id, None)
         state.metrics.decrement_stream()
+        if state.prometheus:
+            state.prometheus.ws_active.dec()
         state.stream_semaphore.release()
         if not ws.closed:
             await ws.close()

@@ -113,19 +113,88 @@ class PrometheusMetrics:
         self.compile_count = Counter(
             "asr_xla_compilations_total", "XLA program compilations",
             registry=self.registry)
+        # -- reference-parity series (ref: reliability/metrics.rs:44-160) --
+        self.requests_failed = Counter(
+            "asr_requests_failed_total", "Failed ASR requests",
+            ["kind", "error"], registry=self.registry)
+        self.ws_connections = Counter(
+            "asr_websocket_connections_total", "WebSocket connections opened",
+            registry=self.registry)
+        self.ws_active = Gauge(
+            "asr_websocket_connections_active", "Open WebSocket connections",
+            registry=self.registry)
+        # triton_* analogues: the in-process XLA device dispatch
+        self.dispatch_duration = Histogram(
+            "asr_device_dispatch_duration_seconds",
+            "XLA program execution latency (triton_inference analogue)",
+            ["program"], registry=self.registry,
+            buckets=(.005, .01, .025, .05, .1, .25, .5, 1, 2.5, 5))
+        self.dispatches_total = Counter(
+            "asr_device_dispatches_total", "XLA device dispatches",
+            ["program"], registry=self.registry)
+        self.dispatch_failures = Counter(
+            "asr_device_dispatch_failures_total", "Failed device dispatches",
+            ["program"], registry=self.registry)
+        self.breaker_opens = Counter(
+            "asr_circuit_breaker_opens_total", "Breaker CLOSED->OPEN trips",
+            registry=self.registry)
+        self.breaker_closes = Counter(
+            "asr_circuit_breaker_closes_total", "Breaker ->CLOSED recoveries",
+            registry=self.registry)
+        self.breaker_rejections = Counter(
+            "asr_circuit_breaker_rejected_requests_total",
+            "Requests rejected while the breaker was open",
+            registry=self.registry)
+        self.audio_conversion = Histogram(
+            "asr_audio_conversion_duration_seconds",
+            "PCM16 -> f32 conversion latency",
+            registry=self.registry,
+            buckets=(.0001, .00025, .0005, .001, .0025, .005, .01, .05))
+        self.audio_chunk_bytes = Histogram(
+            "asr_audio_chunk_size_bytes", "Audio payload sizes",
+            registry=self.registry,
+            buckets=(1024, 4096, 16384, 65536, 262144, 1048576, 4194304))
+        # memory_pool / connection_pool analogues: staging arrays + batcher
+        self.staging_buffers = Gauge(
+            "asr_staging_buffers",
+            "Host staging arrays resident (memory_pool analogue)",
+            registry=self.registry)
+        self.queue_depth = Gauge(
+            "asr_inference_queue_depth",
+            "Batcher admission queue depth (connection_pool analogue)",
+            registry=self.registry)
+        # hooks AppState wires so sync_gauges can read live values
+        self.staging_size_fn = None
+        self.queue_depth_fn = None
 
     def observe_request(self, kind: str, status: str,
                         duration_s: Optional[float] = None,
-                        audio_s: Optional[float] = None) -> None:
+                        audio_s: Optional[float] = None,
+                        error: Optional[str] = None) -> None:
         self.requests_total.labels(kind=kind, status=status).inc()
         if duration_s is not None:
             self.inference_duration.labels(kind=kind).observe(duration_s)
         if audio_s is not None:
             self.audio_seconds_total.inc(audio_s)
+        if status != "ok":
+            self.requests_failed.labels(
+                kind=kind, error=error or "internal").inc()
+
+    def observe_dispatch(self, program: str, duration_s: float,
+                         ok: bool = True) -> None:
+        self.dispatches_total.labels(program=program).inc()
+        if ok:
+            self.dispatch_duration.labels(program=program).observe(duration_s)
+        else:
+            self.dispatch_failures.labels(program=program).inc()
 
     def sync_gauges(self) -> None:
         self.active_streams.set(self._svc.active_streams)
         self.active_batches.set(self._svc.active_batches)
+        if self.staging_size_fn is not None:
+            self.staging_buffers.set(self.staging_size_fn())
+        if self.queue_depth_fn is not None:
+            self.queue_depth.set(self.queue_depth_fn())
 
     def exposition(self) -> bytes:
         from prometheus_client import generate_latest

@@ -82,8 +82,9 @@ class AppState:
         if self.prometheus:
             self.batcher.prometheus = self.prometheus
             pipeline.on_compile = self.prometheus.compile_count.inc
-            self.breaker.on_state_change = \
-                lambda s: self.prometheus.circuit_state.set(s.value)
+            self.breaker.on_state_change = self._on_breaker_state
+            self.prometheus.staging_size_fn = lambda: len(pipeline._staging)
+            self.prometheus.queue_depth_fn = self.batcher.queue_depth
 
         # native streaming mode: one shared lane engine batches all
         # concurrent streams into a single fused chunk-step program
@@ -101,6 +102,16 @@ class AppState:
                 max_symbols=self.config.max_symbols_per_step,
                 max_total=self.config.max_total_tokens)
             self.lane_lock = threading.Lock()
+
+    def _on_breaker_state(self, s) -> None:
+        """Breaker transitions: state gauge + open/close trip counters
+        (ref: circuit_breaker_opens/closes_total, metrics.rs:102-116)."""
+        prom = self.prometheus
+        prom.circuit_state.set(s.value)
+        if s.name == "OPEN":
+            prom.breaker_opens.inc()
+        elif s.name == "CLOSED":
+            prom.breaker_closes.inc()
 
     def close(self) -> None:
         self.pipeline.stop_background_warmup()

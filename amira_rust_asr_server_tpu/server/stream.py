@@ -210,6 +210,7 @@ class StreamProcessor:
         if self.state.prometheus:
             self.state.prometheus.websocket_messages.labels(
                 direction="in").inc()
+            self.state.prometheus.audio_chunk_bytes.observe(len(data))
 
         if len(data) > C.MAX_WS_CHUNK_BYTES:
             raise ValueError(

@@ -124,6 +124,68 @@ def test_prometheus_live_series_update():
     run(with_client(state, go))
 
 
+def test_prometheus_reference_parity_series():
+    """Round-2 series (ref: reliability/metrics.rs:44-160 — triton_*,
+    websocket_connections_*, circuit trip counters, audio conversion,
+    pool gauges) must exist AND move under traffic."""
+    state = make_state(metrics_backend="prometheus")
+
+    async def go(client):
+        pcm = np.random.default_rng(7).integers(
+            -3000, 3000, 4800, dtype=np.int16).tobytes()
+        r = await client.post("/v2/decode/batch/default",
+                              json={"audio_buffer": list(pcm)})
+        assert r.status == 200
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(pcm)
+        await asyncio.wait_for(ws.receive(), timeout=60)
+        await ws.send_bytes(bytes([0xFF]))
+        await asyncio.wait_for(ws.receive(), timeout=60)
+        await ws.close()
+
+        body = await (await client.get("/metrics")).text()
+        # device dispatch (triton_* analogue): one greedy dispatch at least
+        assert _series_value(
+            body, 'asr_device_dispatches_total{program="greedy"}') >= 1
+        assert _series_value(
+            body,
+            'asr_device_dispatch_duration_seconds_count'
+            '{program="greedy"}') >= 1
+        # websocket connection lifecycle
+        assert _series_value(body, "asr_websocket_connections_total") >= 1
+        assert _series_value(body, "asr_websocket_connections_active") == 0
+        # audio conversion + chunk size observed on the batch path
+        assert _series_value(
+            body, "asr_audio_conversion_duration_seconds_count") >= 1
+        assert _series_value(body, "asr_audio_chunk_size_bytes_count") >= 2
+        # pool gauges wired (staging pool holds >= 1 bucket after traffic)
+        assert _series_value(body, "asr_staging_buffers") >= 1
+        assert _series_value(body, "asr_inference_queue_depth") == 0
+
+        # breaker trip counters move on transitions
+        from amira_rust_asr_server_tpu.reliability import CircuitState
+        state.breaker.force_state(CircuitState.OPEN)
+        state.breaker.force_state(CircuitState.CLOSED)
+        body = await (await client.get("/metrics")).text()
+        assert _series_value(body, "asr_circuit_breaker_opens_total") >= 1
+        assert _series_value(body, "asr_circuit_breaker_closes_total") >= 1
+    run(with_client(state, go))
+
+
+def test_prometheus_failed_request_series():
+    """A rejected request lands in asr_requests_failed_total with the
+    error-type label (ref: record_request_failure, metrics.rs:279-281)."""
+    state = make_state(metrics_backend="prometheus")
+
+    async def go(client):
+        r = await client.post("/v2/decode/batch/default",
+                              json={"audio_buffer": []})
+        assert r.status == 400
+        body = await (await client.get("/metrics")).text()
+        assert _series_value(body, "asr_requests_failed_total{") >= 1
+    run(with_client(state, go))
+
+
 def test_prometheus_compile_counter_moves():
     """A fresh pipeline compiling its first bucket bumps the counter."""
     from amira_rust_asr_server_tpu.server.state import AppState

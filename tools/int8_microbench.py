@@ -70,19 +70,39 @@ def main():
 
     @jax.jit
     def w8a8_chain(x):
-        """The actual serving composite: dynamic per-row act quant +
-        per-channel weight quant + int8 dot + fused dequant, both ways."""
+        """The serving composite (auto-routes: Pallas fused kernel on TPU,
+        XLA int8 dot elsewhere)."""
         for _ in range(reps):
             y = quant_dense(x, w)
             x = quant_dense(y, wb)
+        return x
+
+    from amira_rust_asr_server_tpu.ops.quant import quantize_weight_int8
+
+    @jax.jit
+    def w8a8_xla_chain(x):
+        """Force the XLA composite (int32 product round-trips HBM)."""
+        from amira_rust_asr_server_tpu.ops.quant import quantize_act_int8
+        for _ in range(reps):
+            for wt in (w, wb):
+                wq, ws = quantize_weight_int8(wt)
+                xq, s = quantize_act_int8(x)
+                y = jax.lax.dot_general(
+                    xq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                x = (y.astype(jnp.float32) * s * ws).astype(jnp.bfloat16)
         return x
 
     print("device:", jax.devices()[0].device_kind, file=sys.stderr)
     t_bf = timeit_chained(bf16_chain, x0)
     print(f"bf16 dense : {t_bf*1e3:8.2f} ms  "
           f"{flop/t_bf/1e12:7.1f} TFLOP/s")
+    t_x = timeit_chained(w8a8_xla_chain, x0)
+    print(f"w8a8 (xla) : {t_x*1e3:8.2f} ms  "
+          f"{flop/t_x/1e12:7.1f} TOP/s(effective)  "
+          f"speedup x{t_bf/t_x:.2f}")
     t_q = timeit_chained(w8a8_chain, x0)
-    print(f"w8a8 dense : {t_q*1e3:8.2f} ms  "
+    print(f"w8a8 (auto): {t_q*1e3:8.2f} ms  "
           f"{flop/t_q/1e12:7.1f} TOP/s(effective)  "
           f"speedup x{t_bf/t_q:.2f}")
 
