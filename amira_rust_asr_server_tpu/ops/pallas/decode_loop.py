@@ -245,9 +245,29 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     embed = pred_params["embed"]
     embed_pad = jnp.pad(embed, ((0, VOCAB_PAD - vocab), (0, 0)))
 
-    kernel = _make_kernel(b, t_max, lookahead, VOCAB_PAD, blank_id,
+    # lane blocking: enc_pre for 16 lanes of 30 s is ~8 MB of VMEM next to
+    # ~13 MB of resident weights — larger batches (32+) must grid over
+    # lane blocks (weights stay resident across grid steps; batch buckets
+    # are powers of two so LB always divides b)
+    lb = 16 if b % 16 == 0 else b
+    kernel = _make_kernel(lb, t_max, lookahead, VOCAB_PAD, blank_id,
                           max_symbols, max_total, d_pred, d_joint)
 
+    lane2 = lambda shape: pl.BlockSpec(  # noqa: E731 — [B, X] lane-blocked
+        (lb, shape), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((lb, t_max, d_joint), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),          # enc_pre
+        lane2(1),                                       # enc_lens
+        pl.BlockSpec((2, lb, d_pred), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),          # h0
+        pl.BlockSpec((2, lb, d_pred), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),          # c0
+        lane2(d_pred),                                  # pred0
+        lane2(1),                                       # last0
+        lane2(1),                                       # off
+    ] + [whole] * 9                                     # weights resident
     out_shape = (
         jax.ShapeDtypeStruct((b, max_total), jnp.int32),   # tokens
         jax.ShapeDtypeStruct((b, 1), jnp.int32),           # counts
@@ -258,11 +278,19 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
         jax.ShapeDtypeStruct((b, d_pred), dt),             # pred_out
         jax.ShapeDtypeStruct((b, 1), jnp.int32),           # last_token
     )
+    out_specs = (
+        lane2(max_total), lane2(1), lane2(max_total), lane2(max_total),
+        pl.BlockSpec((2, lb, d_pred), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, lb, d_pred), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        lane2(d_pred), lane2(1),
+    )
     outs = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in out_shape),
+        grid=(b // lb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(enc_pre, enc_lens.astype(jnp.int32)[:, None],

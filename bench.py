@@ -68,10 +68,13 @@ def deadline(seconds: int, what: str):
         signal.signal(signal.SIGALRM, prev)
 
 
-def timeit(fn, iters=5):
+def timeit(fn, iters=20):
     """Steady-state seconds/call: fn returns a device array; block once at
     the end so per-call tunnel RTT doesn't pollute device timing. The
-    warm/compile call retries: the remote compile service occasionally
+    final flush/sync costs ~30 ms through the dev tunnel regardless of the
+    work queued, so enough iterations must amortize it (measured: 5 iters
+    overstates a 33 ms program by ~6 ms/call, 20 iters by ~1.5 ms).
+    The warm/compile call retries: the remote compile service occasionally
     drops a connection mid-compile (transient; the persistent cache makes
     the retry cheap)."""
     for attempt in range(3):
@@ -233,6 +236,24 @@ def bench_batch(results: dict) -> None:
         "batch": b,
     })
 
+    # -- dispatch-overhead calibration ---------------------------------------
+    # On this dev setup every dispatch from a loaded serving process carries
+    # a measurable fixed cost (tunnel RPC + runtime bookkeeping) that a
+    # co-located TPU VM does not pay. Measure it with a trivial program in
+    # the same process and report the device-only RTFx alongside the raw
+    # wall-clock headline (which stays the conservative headline value).
+    try:
+        trivial = jax.jit(lambda x: x * 2.0)
+        overhead_s = timeit(lambda: trivial(audio_dev))
+        results["dispatch_overhead_ms_est"] = round(overhead_s * 1e3, 2)
+        if overhead_s < full_s * 0.5:
+            results["rtfx_device_est"] = round(
+                audio_seconds / (full_s - overhead_s), 1)
+        log(f"dispatch overhead ~{overhead_s*1e3:.2f} ms -> device-only "
+            f"RTFx ~{results.get('rtfx_device_est')}")
+    except Exception as e:  # noqa: BLE001
+        log(f"overhead calibration failed: {e!r}")
+
     # -- MFU (model FLOPs over the measured e2e wall) ------------------------
     f_mel = flops_mel(b, n, cfg.n_mels)
     f_enc = flops_encoder(cfg, b, n)
@@ -251,14 +272,20 @@ def bench_batch(results: dict) -> None:
             mel_s = timeit(lambda: run_mel(audio_dev, lens_dev))
             enc_s = timeit(lambda: run_encode(pipe.params, audio_dev,
                                               lens_dev))
+        # mel_s alone carries the per-dispatch overhead; the encode/decode
+        # figures are differences of equally-burdened measurements, so the
+        # overhead cancels there. Subtract the calibrated overhead from the
+        # mel segment only.
+        ov_s = results.get("dispatch_overhead_ms_est", 0.0) / 1e3
+        mel_dev = max(mel_s - ov_s, 0.0)
         encode_s = max(enc_s - mel_s, 0.0)
         decode_s = max(full_s - enc_s, 0.0)
         mfu_enc = f_enc / max(enc_s - mel_s, 1e-9) / (PEAK_TFLOPS * 1e12)
-        log(f"segments: mel {mel_s*1e3:.1f} ms | encode "
+        log(f"segments: mel {mel_dev*1e3:.1f} ms | encode "
             f"{encode_s*1e3:.1f} ms | decode {decode_s*1e3:.1f} ms | "
             f"MFU enc {mfu_enc:.1%}")
         results.update({
-            "segments_ms": {"mel": round(mel_s * 1e3, 2),
+            "segments_ms": {"mel": round(mel_dev * 1e3, 2),
                             "encode": round(encode_s * 1e3, 2),
                             "decode": round(decode_s * 1e3, 2)},
             "mfu_encode": round(mfu_enc, 3),
@@ -302,6 +329,10 @@ def bench_batch(results: dict) -> None:
                     "mfu_e2e": round((f_mel + f_enc + f_dec) / q_s
                                      / (PEAK_TFLOPS * 1e12), 3),
                 })
+                ov = results.get("dispatch_overhead_ms_est")
+                if ov is not None and ov / 1e3 < q_s * 0.5:
+                    results["rtfx_device_est"] = round(
+                        audio_seconds / (q_s - ov / 1e3), 1)
             else:
                 results["quantization"] = "none"
     except (Exception, _SectionTimeout) as e:  # noqa: BLE001
