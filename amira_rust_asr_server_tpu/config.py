@@ -67,7 +67,10 @@ class Config:
     audio_sec_buckets: List[float] = dataclasses.field(
         default_factory=lambda: [2.0, 4.0, 8.0, 16.0, 30.0])
     batch_window_ms: float = 5.0  # collector wait before dispatch
-    max_lanes: int = 16  # streaming decode lanes resident per chip
+    # streaming decode lanes resident per chip. 64 measured optimal on
+    # v5e: ~1716 real-time streams/chip at 23.9 ms/chunk-step (vs 1067 at
+    # 16 lanes); step latency stays far under the 100 ms partial target.
+    max_lanes: int = 64
     warmup_on_start: bool = True  # precompile bucket programs at startup
     cold_bucket_timeout_secs: float = 180.0  # allowance when XLA compiles
     # persistent XLA compilation cache: restarts (and identical replicas)

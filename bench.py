@@ -69,17 +69,21 @@ def deadline(seconds: int, what: str):
 
 
 def timeit(fn, iters=20):
-    """Steady-state seconds/call: fn returns a device array; block once at
+    """Steady-state seconds/call: fn returns a device array; sync once at
     the end so per-call tunnel RTT doesn't pollute device timing. The
     final flush/sync costs ~30 ms through the dev tunnel regardless of the
     work queued, so enough iterations must amortize it (measured: 5 iters
     overstates a 33 ms program by ~6 ms/call, 20 iters by ~1.5 ms).
+    The end-of-loop sync is a HOST READBACK, not block_until_ready: on the
+    axon platform block_until_ready can return before execution finishes
+    (observed: "0.4 ms" for a 120 ms program), while a device-to-host copy
+    of the output cannot complete early.
     The warm/compile call retries: the remote compile service occasionally
     drops a connection mid-compile (transient; the persistent cache makes
     the retry cheap)."""
     for attempt in range(3):
         try:
-            jax.block_until_ready(fn())  # compile + warm
+            np.asarray(jax.tree_util.tree_leaves(fn())[0])  # compile + warm
             break
         except Exception as e:  # noqa: BLE001 — transient compile transport
             if attempt == 2:
@@ -90,7 +94,7 @@ def timeit(fn, iters=20):
     out = None
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     return (time.time() - t0) / iters
 
 
@@ -358,7 +362,7 @@ def bench_streaming(results: dict) -> None:
         if x.dtype == jnp.float32 else x, p))
     params = cast(params)
 
-    lanes = int(os.environ.get("ASR_BENCH_LANES", "16"))
+    lanes = int(os.environ.get("ASR_BENCH_LANES", "64"))
     chunk_frames = 64  # 64 mel frames = 0.64 s of audio per chunk
     engine = StreamingLaneEngine(model, params, Vocabulary.from_map({}),
                                  n_lanes=lanes, chunk_frames=chunk_frames)
@@ -379,7 +383,13 @@ def bench_streaming(results: dict) -> None:
         cache2, res = engine._step(
             engine.params, feats, active, enc_lens, state["cache"],
             state["dec"], state["pred"], state["last"], off)
+        # chain the FULL carried state so successive dispatches are truly
+        # data-dependent (axon can report bogus sub-roofline times for
+        # loops of independent identical dispatches)
         state["cache"] = cache2
+        state["dec"] = res.state
+        state["pred"] = res.pred_out
+        state["last"] = res.last_token
         return res.counts
 
     t0 = time.time()
