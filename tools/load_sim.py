@@ -105,6 +105,9 @@ async def main() -> None:
     lat_p = [x[0] for x in stats["partial"]]
     print(json.dumps({
         "batch_requests": len(stats["batch"]),
+        "batch_ok": len(lat_b),
+        "batch_rejected": sum(1 for x in stats["batch"]
+                              if x[1] in (429, 503)),
         "batch_p50_ms": round(pct(lat_b, 50) * 1e3, 1),
         "batch_p95_ms": round(pct(lat_b, 95) * 1e3, 1),
         "partials": len(lat_p),
