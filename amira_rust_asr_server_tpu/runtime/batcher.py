@@ -20,6 +20,7 @@ from __future__ import annotations
 import asyncio
 import threading
 import time
+from collections import deque
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -75,11 +76,15 @@ class ContinuousBatcher:
         self._retry = ErrorRecoveryManager(
             max_retries=2, base_delay_s=0.05,
             retryable=(RuntimeError, TimeoutError))
-        # bounded admission queue (ref: inference_queue_size,
+        # bounded admission, one lane-class each for interactive batch
+        # POSTs and streaming chunk re-decodes (ref: inference_queue_size,
         # config.rs:114-140): overflow rejects with 503 instead of
-        # queueing unboundedly behind a slow device
-        self._queue: asyncio.Queue = asyncio.Queue(
-            maxsize=max(cfg.inference_queue_size, self.max_lanes))
+        # queueing unboundedly behind a slow device. Two classes + round-
+        # robin packing means a flood of stream chunks can't starve batch
+        # admission (or vice versa) — each dispatch interleaves both.
+        self._maxsize = max(cfg.inference_queue_size, self.max_lanes)
+        self._pending = {"batch": deque(), "stream": deque()}
+        self._work = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
 
@@ -99,17 +104,20 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     async def submit(self, samples: np.ndarray,
-                     stream_state: Optional[StreamState] = None
+                     stream_state: Optional[StreamState] = None,
+                     kind: str = "batch"
                      ) -> Tuple[Transcription, StreamState]:
         """Queue one decode; resolves when its device batch completes.
-        Raises CapacityExceededError when the admission queue is full."""
+        Raises CapacityExceededError when this lane-class's admission
+        queue is full (the other class keeps its own budget)."""
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        try:
-            self._queue.put_nowait((samples, stream_state, fut))
-        except asyncio.QueueFull:
+        q = self._pending[kind]
+        if len(q) >= self._maxsize:
             from ..errors import CapacityExceededError
             raise CapacityExceededError(
-                "inference queue is full") from None
+                f"{kind} inference queue is full")
+        q.append((samples, stream_state, fut))
+        self._work.set()
         return await fut
 
     def submit_from_thread(self, samples: np.ndarray,
@@ -117,29 +125,49 @@ class ContinuousBatcher:
                            timeout: Optional[float] = None
                            ) -> Tuple[Transcription, StreamState]:
         """Blocking submit for worker threads (e.g. the incremental
-        streaming sessions running in the session executor)."""
+        streaming sessions running in the session executor); these are
+        streaming chunk re-decodes, so they ride the "stream" class."""
         assert self._loop is not None, "batcher not started"
         cfut = asyncio.run_coroutine_threadsafe(
-            self.submit(samples, stream_state), self._loop)
+            self.submit(samples, stream_state, kind="stream"), self._loop)
         return cfut.result(timeout)
 
     # ------------------------------------------------------------------
+    def _n_pending(self) -> int:
+        return sum(len(q) for q in self._pending.values())
+
+    def _take_fair(self) -> list:
+        """Pop up to max_lanes pending items, round-robin across classes
+        so neither batch POSTs nor stream chunks monopolize a dispatch."""
+        out: list = []
+        while len(out) < self.max_lanes:
+            took = False
+            for q in self._pending.values():
+                if q and len(out) < self.max_lanes:
+                    out.append(q.popleft())
+                    took = True
+            if not took:
+                break
+        return out
+
     async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
         while True:
-            first = await self._queue.get()
-            batch = [first]
-            loop = asyncio.get_running_loop()
+            while not self._n_pending():
+                self._work.clear()
+                await self._work.wait()
             deadline = loop.time() + self.window_s
-            while len(batch) < self.max_lanes:
+            while self._n_pending() < self.max_lanes:
                 remaining = deadline - loop.time()
                 if remaining <= 0:
                     break
+                self._work.clear()
                 try:
-                    batch.append(await asyncio.wait_for(
-                        self._queue.get(), timeout=remaining))
+                    await asyncio.wait_for(self._work.wait(),
+                                           timeout=remaining)
                 except asyncio.TimeoutError:
                     break
-            await self._dispatch(batch)
+            await self._dispatch(self._take_fair())
 
     # ------------------------------------------------------------------
     def _group_by_bucket(self, batch, mode: str = "greedy") -> List[list]:
@@ -166,7 +194,7 @@ class ContinuousBatcher:
 
     def queue_depth(self) -> int:
         """Pending admissions (prometheus asr_inference_queue_depth)."""
-        return self._queue.qsize()
+        return self._n_pending()
 
     def _record_dispatch(self, lanes: int) -> None:
         self.stats.record(lanes)

@@ -123,6 +123,50 @@ def test_submit_from_thread(pipeline):
     assert all(tr.tokens == first for tr, _ in out)
 
 
+def test_stream_flood_cannot_starve_batch_admission(pipeline):
+    """Per-class admission: filling the stream class to its bound must
+    neither reject a batch submit nor keep it out of the next dispatches
+    (round-robin packing interleaves both classes)."""
+    from amira_rust_asr_server_tpu.errors import CapacityExceededError
+
+    async def go():
+        ex = concurrent.futures.ThreadPoolExecutor(1)
+        batcher = ContinuousBatcher(pipeline, ex, window_ms=30.0)
+        await batcher.start()
+        rng = np.random.default_rng(5)
+        w = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+        # fill the stream class exactly to its admission bound
+        stream_futs = [
+            asyncio.ensure_future(batcher.submit(w, kind="stream"))
+            for _ in range(batcher._maxsize)]
+        await asyncio.sleep(0)  # let them enqueue
+        with pytest.raises(CapacityExceededError):
+            await batcher.submit(w, kind="stream")  # stream class is full
+        # ...but the batch class still admits and completes
+        tr, _ = await asyncio.wait_for(batcher.submit(w, kind="batch"),
+                                       timeout=30)
+        await asyncio.gather(*stream_futs)
+        await batcher.stop()
+        return tr
+
+    tr = asyncio.run(go())
+    assert isinstance(tr.text, str)
+
+
+def test_fair_take_interleaves_classes(pipeline):
+    """_take_fair alternates classes instead of draining one FIFO."""
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    batcher = ContinuousBatcher(pipeline, ex, window_ms=1.0, max_lanes=4)
+    for i in range(6):
+        batcher._pending["stream"].append(("s", None, i))
+    batcher._pending["batch"].append(("b", None, 99))
+    taken = batcher._take_fair()
+    assert len(taken) == 4
+    # the lone batch item rides the very next dispatch despite 6 queued
+    # stream items ahead of it
+    assert ("b", None, 99) in taken
+
+
 def test_beam_mode_batcher_coalesces():
     """Beam-mode requests share one (batch x beam) device call and return
     full Transcriptions with n-best."""
