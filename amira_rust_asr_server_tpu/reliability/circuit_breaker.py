@@ -33,7 +33,14 @@ class CircuitBreaker:
                  window_secs: float = 60.0,
                  recovery_timeout_secs: float = 30.0,
                  success_threshold: int = 3,
-                 clock: Callable[[], float] = time.monotonic):
+                 clock: Callable[[], float] = time.monotonic,
+                 excluded_exceptions: tuple = ()):
+        # excluded_exceptions pass through without counting as failures:
+        # admission-control rejections (queue full) are load signals, not
+        # device-health signals — counting them would trip the breaker on
+        # an overloaded-but-healthy server and turn load shedding into a
+        # full 30 s outage
+        self.excluded_exceptions = excluded_exceptions
         self.failure_threshold = failure_threshold
         self.window_secs = window_secs
         self.recovery_timeout_secs = recovery_timeout_secs
@@ -128,6 +135,8 @@ class CircuitBreaker:
             raise CircuitOpenError("inference circuit is open")
         try:
             result = fn()
+        except self.excluded_exceptions:
+            raise
         except Exception:
             self.record_failure()
             raise
@@ -139,6 +148,8 @@ class CircuitBreaker:
             raise CircuitOpenError("inference circuit is open")
         try:
             result = await coro
+        except self.excluded_exceptions:
+            raise
         except Exception:
             self.record_failure()
             raise

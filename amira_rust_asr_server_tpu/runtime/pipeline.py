@@ -450,9 +450,22 @@ class AsrPipeline:
         mode using silence. Allocates its own arrays (never the shared
         staging pool) so it is safe from the background warmup thread
         while the dispatch thread serves."""
-        samples = [np.zeros(n_samples, np.float32) for _ in range(b)]
         if self.config.decoding_mode == "beam":
-            self.decode_beam_batch(samples)
+            # compile the NATURAL bucket directly: decode_beam_batch's
+            # warm-bucket redirect would route a cold small bucket up to
+            # an already-warm larger one and never compile the target,
+            # leaving warmup convinced it is done while every future
+            # small group pads up to the big bucket's beam lanes forever
+            cfg = self.config
+            bb = self._bucket_batch(b)
+            nb = self._bucket_len(n_samples)
+            audio = np.zeros((bb, nb), np.float32)
+            lens = np.full((bb,), min(n_samples, nb), np.int32)
+            self._beam_fwd(
+                self.params, jnp.asarray(audio), jnp.asarray(lens),
+                None, self.beam_graph,
+                beam_width=cfg.beam_width, max_expansions=3)
+            self._mark_compiled("beam", bb, nb)
         else:
             cfg = self.config
             mcfg = self.model.config

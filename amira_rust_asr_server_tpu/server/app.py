@@ -365,6 +365,10 @@ def build_state(config: Optional[Config] = None,
         mesh = make_mesh(cfg.mesh_shape)
         log.info("serving over mesh %s", dict(mesh.shape))
     pipeline = AsrPipeline(model, params, vocab, cfg, mesh=mesh)
+    # AppState first: it wires pipeline.on_compile to the prometheus
+    # compile counter, and warmup is where most compiles happen — wiring
+    # after would permanently under-report asr_xla_compilations_total
+    state = AppState(pipeline, vocab, cfg)
     if warmup if warmup is not None else cfg.warmup_on_start:
         import time
         t0 = time.time()
@@ -373,7 +377,7 @@ def build_state(config: Optional[Config] = None,
         # the remaining (batch x length) buckets compile off-thread while
         # the warm set serves; the batcher packs only into warm buckets
         pipeline.start_background_warmup()
-    return AppState(pipeline, vocab, cfg)
+    return state
 
 
 async def run_server(state: AppState, host: Optional[str] = None,

@@ -60,7 +60,12 @@ class AppState:
         self.batch_semaphore = TryAcquireSemaphore(
             self.config.max_concurrent_batches)
         self.active_streams: Dict[str, object] = {}
-        self.breaker = CircuitBreaker()
+        # load-shed rejections from the admission queue must not count as
+        # device failures, or a traffic burst trips the breaker and turns
+        # graceful 503s into a 30 s full outage
+        from ..errors import CapacityExceededError
+        self.breaker = CircuitBreaker(
+            excluded_exceptions=(CapacityExceededError,))
         self.shutdown = GracefulShutdown()
         # single dispatch thread: XLA executions for one chip serialize
         # anyway; a second thread only adds contention. IO stays on the

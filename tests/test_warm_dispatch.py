@@ -113,6 +113,50 @@ def test_background_warmup_compiles_all_buckets():
         assert pipe.is_warm(b, 4000), f"bucket ({b}, 0.5s) not warmed"
 
 
+def test_warm_one_beam_compiles_natural_bucket():
+    """Beam-mode _warm_one must compile the bucket it was asked for, even
+    when a LARGER beam bucket is already warm — decode_beam_batch's
+    warm-redirect would otherwise route the request up and never compile
+    the target, so warmup finishes with the small bucket cold forever and
+    every small group pads to the big bucket's (batch x beam) lanes."""
+    pipe = make_pipeline(decoding_mode="beam", beam_width=2)
+    # a 16-request-style burst compiles the LARGEST bucket first
+    pipe._warm_one(4, 4000)
+    assert pipe.is_warm(4, 4000, mode="beam")
+    assert not pipe.is_warm(2, 4000, mode="beam")
+    # warming the small bucket must actually compile it (not redirect)
+    pipe._warm_one(2, 4000)
+    assert pipe.is_warm(2, 4000, mode="beam")
+
+
+def test_breaker_ignores_capacity_rejections():
+    """Admission-control rejections are load signals, not device-health
+    signals: they must pass through the breaker uncounted, or a traffic
+    burst trips it and turns graceful 503 load-shedding into a full
+    30 s outage (and permanent flapping in HALF_OPEN)."""
+    from amira_rust_asr_server_tpu.reliability.circuit_breaker import (
+        CircuitBreaker, CircuitState)
+
+    cb = CircuitBreaker(failure_threshold=2,
+                        excluded_exceptions=(CapacityExceededError,))
+
+    def reject():
+        raise CapacityExceededError("queue full")
+
+    for _ in range(10):
+        with pytest.raises(CapacityExceededError):
+            cb.call(reject)
+    assert cb.state is CircuitState.CLOSED
+    assert cb.total_failures == 0
+    # real device failures still trip it
+    def boom():
+        raise RuntimeError("device fell over")
+    for _ in range(2):
+        with pytest.raises(RuntimeError):
+            cb.call(boom)
+    assert cb.state is CircuitState.OPEN
+
+
 def test_bounded_queue_rejects_overflow():
     pipe = make_pipeline(inference_queue_size=2, batch_buckets=[1, 2])
 

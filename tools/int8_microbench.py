@@ -39,12 +39,13 @@ def timeit_chained(fn, x0, iters=8):
     """fn(x) -> same-shaped x; outputs thread into inputs so calls cannot
     overlap. Returns seconds per call."""
     x = fn(x0)
-    jax.block_until_ready(x)  # compile + warm
+    np.asarray(x[:1, :8])  # compile + warm (host readback: on axon
+    # block_until_ready can return before execution finishes — repo gotcha)
     x = x0
     t0 = time.perf_counter()
     for _ in range(iters):
         x = fn(x)
-    jax.block_until_ready(x)
+    np.asarray(x[:1, :8])  # final sync must be a host readback too
     return (time.perf_counter() - t0) / iters
 
 
