@@ -168,7 +168,7 @@ def test_ws_stream_partials_and_complete():
         for i in range(0, len(pcm), 8000):
             await ws.send_bytes(pcm[i:i + 8000])
         # collect a partial
-        msg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+        msg = await asyncio.wait_for(ws.receive_json(), timeout=90)
         assert msg["status"] in ("ACTIVE", "COMPLETE")
         assert "transcription" in msg
         assert "audio_length_seconds" in msg["metadata"]
@@ -176,7 +176,7 @@ def test_ws_stream_partials_and_complete():
         await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
         final = None
         while True:
-            raw = await asyncio.wait_for(ws.receive(), timeout=30)
+            raw = await asyncio.wait_for(ws.receive(), timeout=90)
             if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
                 break
             data = json.loads(raw.data)
