@@ -1,0 +1,107 @@
+"""Serving-path leak regression: application-level allocations must stay
+flat under sustained batch + WebSocket load.
+
+Found during the round-2 soak (real server, flagship on-chip, 20+ min of
+tools/load_sim.py): process RSS grows under load, but tracemalloc filtered
+to repo code shows ~zero allocation growth — the RSS movement is glibc
+arena behavior plus (on the axon tunnel) plugin-side dispatch buffers, not
+Python object retention. This test pins that property: if a future change
+starts retaining per-request state (responses, ring buffers, stream
+sessions, batcher futures), repo-filtered allocation growth explodes past
+the threshold and this fails.
+
+Method mirrors the reference's leak discipline (its unsafe ring buffer is
+unit-tested and valgrind is suggested for manual runs, ref:
+README.md:463-464) with a Python-native tool instead.
+"""
+
+import asyncio
+import base64
+import gc
+import json
+import tracemalloc
+
+import numpy as np
+from aiohttp.test_utils import TestClient, TestServer
+
+from amira_rust_asr_server_tpu import constants as C
+from amira_rust_asr_server_tpu.config import Config
+from amira_rust_asr_server_tpu.models import Transducer
+from amira_rust_asr_server_tpu.runtime import AsrPipeline
+from amira_rust_asr_server_tpu.server.app import create_app
+from amira_rust_asr_server_tpu.server.state import AppState
+from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+import jax
+
+
+def make_state() -> AppState:
+    model = Transducer.from_preset("tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"w{i}" for i in range(20)})
+    cfg = Config(audio_sec_buckets=[2.0], batch_buckets=[1, 8])
+    pipe = AsrPipeline(model, params, vocab, cfg)
+    pipe.warmup()
+    return AppState(pipe, vocab, cfg)
+
+
+async def _wave(client: TestClient, pcm: bytes,
+                n_batch: int = 6, n_ws: int = 3) -> None:
+    for _ in range(n_batch):
+        resp = await client.post(
+            "/v2/decode/batch/default",
+            json={"audio_buffer": base64.b64encode(pcm).decode()})
+        await resp.json()
+        resp.release()
+    for _ in range(n_ws):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        for i in range(4):
+            await ws.send_bytes(pcm[i * 8000:(i + 1) * 8000])
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+        while True:
+            msg = await asyncio.wait_for(ws.receive(), timeout=60)
+            if msg.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                break
+            if json.loads(msg.data).get("status") == "COMPLETE":
+                break
+        await ws.close()
+
+
+def test_no_application_leak_under_load():
+    async def go():
+        state = make_state()
+        app = create_app(state)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        await state.batcher.start()
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(32000) * 3000).astype("<i2").tobytes()
+
+        await _wave(client, pcm)       # warm every code path once
+        await asyncio.sleep(0.5)       # let session threads finish cleanup
+        gc.collect()
+        tracemalloc.start(5)
+        snap0 = tracemalloc.take_snapshot()
+
+        for _ in range(4):
+            await _wave(client, pcm)
+        await asyncio.sleep(0.5)
+        gc.collect()
+        snap1 = tracemalloc.take_snapshot()
+        tracemalloc.stop()
+        await state.batcher.stop()
+        await client.close()
+
+        repo = tracemalloc.Filter(True, "/root/repo/amira_rust_asr_server_tpu/*")
+        stats = snap1.filter_traces([repo]).compare_to(
+            snap0.filter_traces([repo]), "lineno")
+        growth = sum(max(s.size_diff, 0) for s in stats)
+        # measured flat at a few KB over 10x this load; 2 transient ring
+        # buffers from the most recent sessions (~640 KB) can linger, so
+        # the bar is 1.5 MB — a per-request retention bug blows well past
+        # it (each wave moves ~1.2 MB of audio alone)
+        assert growth < 1.5 * 1024 * 1024, (
+            f"application allocations grew {growth/1e6:.2f} MB under load; "
+            f"top sites: {[str(s) for s in stats[:5]]}")
+
+    asyncio.run(go())
