@@ -42,11 +42,21 @@ void f32_to_pcm16le(const float* in, int16_t* out, size_t n) {
 // Mean absolute amplitude (ref: simd.rs:176-268 mean_amplitude).
 float mean_amplitude(const float* in, size_t n) {
   if (n == 0) return 0.0f;
-  double acc = 0.0;
-  for (size_t i = 0; i < n; ++i) {
-    acc += std::fabs(static_cast<double>(in[i]));
+  // 8 independent accumulators: a single double accumulator is a serial
+  // FP dependency chain that strict FP ordering forbids the compiler to
+  // vectorize (measured 0.7x numpy); independent lanes let -O3 use the
+  // full SIMD width
+  double acc[8] = {0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0};
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    for (int k = 0; k < 8; ++k) {
+      acc[k] += std::fabs(static_cast<double>(in[i + k]));
+    }
   }
-  return static_cast<float>(acc / static_cast<double>(n));
+  double total = 0.0;
+  for (int k = 0; k < 8; ++k) total += acc[k];
+  for (; i < n; ++i) total += std::fabs(static_cast<double>(in[i]));
+  return static_cast<float>(total / static_cast<double>(n));
 }
 
 // Peak smoothed energy: max over sliding windows of mean(x^2), returns
