@@ -34,6 +34,9 @@ class Config:
     inference_timeout_secs: float = C.INFERENCE_TIMEOUT_SECS
     max_concurrent_streams: int = C.MAX_CONCURRENT_STREAMS
     max_concurrent_batches: int = C.MAX_CONCURRENT_BATCHES
+    # bounded admission PER CLASS (batch POSTs / streaming re-decodes each
+    # get this budget, so total pending work is bounded by 2x; the
+    # /metrics queue depth reports the sum)
     inference_queue_size: int = C.INFERENCE_QUEUE_SIZE
     audio_buffer_capacity: int = C.BUFFER_CAPACITY
     max_batch_audio_length_secs: float = C.MAX_BATCH_AUDIO_LENGTH_SECS

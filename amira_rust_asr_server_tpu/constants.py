@@ -56,6 +56,10 @@ MAX_TOTAL_TOKENS: int = 200
 DEFAULT_BEAM_WIDTH: int = 10
 MAX_BEAM_WIDTH: int = 100
 LENGTH_PENALTY: float = 0.6
+# per-frame label-expansion cap of the TSD beam scan; MUST be the same
+# static value for warmup and serving or warm-bucket tracking records a
+# program the serving path never calls (cold-compile 504 trap)
+BEAM_MAX_EXPANSIONS: int = 3
 MIN_LOG_PROB: float = -100.0
 
 # --------------------------------------------------------------------------

@@ -90,6 +90,11 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     async def start(self) -> None:
+        """Idempotent: a second start() (e.g. app startup hook plus an
+        explicit call in a test harness) must not spawn a duplicate
+        dispatcher consuming the same queues."""
+        if self._task is not None and not self._task.done():
+            return
         self._loop = asyncio.get_running_loop()
         self._task = asyncio.create_task(self._run(), name="batcher")
 
@@ -109,7 +114,13 @@ class ContinuousBatcher:
                      ) -> Tuple[Transcription, StreamState]:
         """Queue one decode; resolves when its device batch completes.
         Raises CapacityExceededError when this lane-class's admission
-        queue is full (the other class keeps its own budget)."""
+        queue is full (the other class keeps its own budget — total
+        pending work is therefore bounded by 2 x inference_queue_size,
+        one budget per class; queue_depth() reports the sum)."""
+        if kind not in self._pending:
+            raise ValueError(
+                f"unknown admission class {kind!r}; expected one of "
+                f"{sorted(self._pending)}")
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         q = self._pending[kind]
         if len(q) >= self._maxsize:

@@ -375,7 +375,7 @@ class AsrPipeline:
         trace, feat_lens, enc_lens = self._beam_fwd(
             self.params, jnp.asarray(audio), jnp.asarray(lens),
             bias, graph if graph is not None else self.beam_graph,
-            beam_width=cfg.beam_width, max_expansions=3)
+            beam_width=cfg.beam_width, max_expansions=C.BEAM_MAX_EXPANSIONS)
         res = backtrace(trace, np.asarray(enc_lens),
                         max_total=cfg.max_total_tokens, n_best=n_best)
         self._mark_compiled("beam", b, n)
@@ -464,7 +464,7 @@ class AsrPipeline:
             self._beam_fwd(
                 self.params, jnp.asarray(audio), jnp.asarray(lens),
                 None, self.beam_graph,
-                beam_width=cfg.beam_width, max_expansions=3)
+                beam_width=cfg.beam_width, max_expansions=C.BEAM_MAX_EXPANSIONS)
             self._mark_compiled("beam", bb, nb)
         else:
             cfg = self.config

@@ -28,6 +28,7 @@ import numpy as np
 from aiohttp import WSMsgType, web
 
 from .. import constants as C
+from ..errors import CapacityExceededError
 from ..reliability import get_logger
 from ..runtime.incremental import IncrementalAsr
 from ..types import AsrResponse, StreamStatus
@@ -262,6 +263,24 @@ class StreamProcessor:
                     asyncio.wait_for(fut, budget))
             except asyncio.TimeoutError:
                 raise ValueError("ASR processing timeout") from None
+            except CapacityExceededError:
+                # transient load shed: the admission queue was full for
+                # this window's re-decode. The audio is already in the
+                # session buffer, so the next chunk (or the final drain)
+                # re-decodes it — shed ONE partial, never the stream
+                # (batch POSTs retry a 503; a live stream cannot).
+                if is_final:
+                    raise
+                self.state.metrics.record_rejection()
+                log.info("stream %s: partial deferred (device busy)",
+                         self.stream_id)
+                await self.send_response(AsrResponse(
+                    transcription=self.last_transcription,
+                    status=StreamStatus.ACTIVE,
+                    message="busy: partial deferred",
+                    metadata={"audio_length_seconds":
+                              self.incremental.audio_length()}))
+                return
             self.last_transcription = transcription
 
         await self.send_response(AsrResponse(

@@ -92,7 +92,12 @@ def test_no_application_leak_under_load():
         await state.batcher.stop()
         await client.close()
 
-        repo = tracemalloc.Filter(True, "/root/repo/amira_rust_asr_server_tpu/*")
+        # derive the package path so the filter works in any checkout (a
+        # hardcoded prefix would silently match nothing -> vacuous pass)
+        import amira_rust_asr_server_tpu as pkg
+        import os
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        repo = tracemalloc.Filter(True, os.path.join(pkg_dir, "*"))
         stats = snap1.filter_traces([repo]).compare_to(
             snap0.filter_traces([repo]), "lineno")
         growth = sum(max(s.size_diff, 0) for s in stats)

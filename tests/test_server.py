@@ -188,6 +188,52 @@ def test_ws_stream_partials_and_complete():
     run(with_client(make_state(), go))
 
 
+def test_ws_stream_survives_transient_queue_full():
+    """A queue-full during a partial's re-decode is a load signal: the
+    stream must shed that ONE partial (status ACTIVE, 'busy' message) and
+    keep the session alive — the buffered audio re-decodes with the next
+    chunk / final drain. Closing the stream (the old behavior) lost the
+    carried state and forced a client reconnect."""
+    from amira_rust_asr_server_tpu.errors import CapacityExceededError
+
+    async def go(client):
+        state = client.app["state"]
+        real = state.batcher.submit_from_thread
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise CapacityExceededError("stream inference queue is full")
+            return real(*a, **k)
+
+        state.batcher.submit_from_thread = flaky
+        try:
+            ws = await client.ws_connect("/v2/decode/stream/default")
+            pcm = _pcm_list(n=8000)
+            await ws.send_bytes(pcm)  # 0.5 s -> triggers a partial
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=60)
+            assert msg["status"] == "ACTIVE"
+            assert "busy" in (msg.get("message") or "")
+            # session is still alive: next chunk decodes fine
+            await ws.send_bytes(pcm)
+            await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+            final = None
+            while True:
+                raw = await asyncio.wait_for(ws.receive(), timeout=60)
+                if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                    break
+                final = json.loads(raw.data)
+                if final["status"] == "COMPLETE":
+                    break
+            assert final is not None and final["status"] == "COMPLETE"
+            assert calls["n"] >= 2  # the retry actually decoded
+            await ws.close()
+        finally:
+            state.batcher.submit_from_thread = real
+    run(with_client(make_state(), go))
+
+
 def test_ws_keepalive_pause():
     async def go(client):
         ws = await client.ws_connect("/v2/decode/stream/default")
