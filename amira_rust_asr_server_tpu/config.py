@@ -88,6 +88,10 @@ class Config:
     # VMEM-resident prediction-net/joint weights (TPU only; supersedes
     # use_pallas_decode_step when on). See ops/pallas/decode_loop.py.
     use_pallas_decode_loop: bool = True
+    # the WHOLE beam scan as one persistent Pallas kernel (TPU only;
+    # unconstrained search — decoding-graph requests stay on the XLA
+    # path). See ops/pallas/beam_loop.py.
+    use_pallas_beam_loop: bool = True
 
     # Mesh: axis name -> size; empty means single-device (no sharding).
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)

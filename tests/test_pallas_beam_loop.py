@@ -1,0 +1,102 @@
+"""Whole-beam-loop Pallas kernel vs the XLA beam scan (interpret mode).
+
+Bit-exact equivalence in f32: same pool scores/lens, same backtrace
+arrays, same decoded n-best after host backtrace — including the
+structural tie cases (dead hypotheses at NEG_INF every frame) that make
+first-index tie-breaking load-bearing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+
+from amira_rust_asr_server_tpu.models import Transducer
+from amira_rust_asr_server_tpu.ops.beam import backtrace, beam_decode, BeamTrace
+from amira_rust_asr_server_tpu.ops.pallas.beam_loop import beam_loop_pallas
+
+
+def _setup(seed=0, b=2, t=7, beam=3):
+    model = Transducer.from_preset("tiny")
+    cfg = model.config
+    params = model.init(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    enc = jnp.asarray(
+        rng.standard_normal((b, t, cfg.d_enc)).astype(np.float32))
+    enc_lens = jnp.asarray(([t, t - 3, t - 1, t - 2] * b)[:b], jnp.int32)
+    enc_pre = model.joint_precompute_enc(params, enc)
+    return model, cfg, params, enc_pre, enc_lens
+
+
+def _run_xla(model, cfg, params, enc_pre, enc_lens, beam, s_max, bias):
+    return beam_decode(
+        partial(model.predict_step, params),
+        partial(model.joint_step_pre, params),
+        enc_pre, enc_lens,
+        model.init_state(enc_pre.shape[0]),
+        cfg.blank_id, beam_width=beam, max_expansions=s_max,
+        bias=bias, vocab_size=cfg.vocab_size)
+
+
+def _run_kernel(model, cfg, params, enc_pre, enc_lens, beam, s_max, bias):
+    h, c = model.init_state(enc_pre.shape[0])
+    bias_vec = (jnp.zeros((cfg.vocab_size,), jnp.float32)
+                if bias is None else bias)
+    outs = beam_loop_pallas(
+        enc_pre, enc_lens, h, c, bias_vec,
+        params["predictor"], params["joint"],
+        beam_width=beam, max_expansions=s_max, blank_id=cfg.blank_id,
+        interpret=True)
+    scores, lens, expp, expt, pps, ppk = outs
+    return BeamTrace(pool_scores=scores, pool_lens=lens,
+                     exp_parent=expp, exp_token=expt,
+                     pool_parent_s=pps, pool_parent_k=ppk,
+                     pool_final=jnp.ones(scores.shape, bool))
+
+
+@pytest.mark.parametrize("bias_on", [False, True])
+def test_kernel_matches_xla_beam(bias_on):
+    model, cfg, params, enc_pre, enc_lens = _setup()
+    bias = None
+    if bias_on:
+        rng = np.random.default_rng(7)
+        bias = jnp.asarray(
+            (rng.standard_normal(cfg.vocab_size) * 0.5).astype(np.float32))
+    want = _run_xla(model, cfg, params, enc_pre, enc_lens, 3, 2, bias)
+    got = _run_kernel(model, cfg, params, enc_pre, enc_lens, 3, 2, bias)
+
+    np.testing.assert_allclose(np.asarray(got.pool_scores),
+                               np.asarray(want.pool_scores),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(got.pool_lens),
+                          np.asarray(want.pool_lens))
+    assert np.array_equal(np.asarray(got.exp_parent),
+                          np.asarray(want.exp_parent))
+    assert np.array_equal(np.asarray(got.exp_token),
+                          np.asarray(want.exp_token))
+    assert np.array_equal(np.asarray(got.pool_parent_s),
+                          np.asarray(want.pool_parent_s))
+    assert np.array_equal(np.asarray(got.pool_parent_k),
+                          np.asarray(want.pool_parent_k))
+
+    # decoded n-best equal end to end
+    w = backtrace(want, np.asarray(enc_lens), n_best=3)
+    g = backtrace(got, np.asarray(enc_lens), n_best=3)
+    assert np.array_equal(g.tokens, w.tokens)
+    assert np.array_equal(g.counts, w.counts)
+    np.testing.assert_allclose(g.scores, w.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_matches_xla_beam_wider():
+    """Larger beam + 3 expansions + uneven lengths."""
+    model, cfg, params, enc_pre, enc_lens = _setup(seed=3, b=3, t=9, beam=4)
+    want = _run_xla(model, cfg, params, enc_pre, enc_lens, 4, 3, None)
+    got = _run_kernel(model, cfg, params, enc_pre, enc_lens, 4, 3, None)
+    np.testing.assert_allclose(np.asarray(got.pool_scores),
+                               np.asarray(want.pool_scores),
+                               rtol=1e-5, atol=1e-5)
+    w = backtrace(want, np.asarray(enc_lens), n_best=2)
+    g = backtrace(got, np.asarray(enc_lens), n_best=2)
+    assert np.array_equal(g.tokens, w.tokens)
+    assert np.array_equal(g.counts, w.counts)

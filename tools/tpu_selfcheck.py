@@ -197,6 +197,45 @@ def main() -> None:
 
     ok &= check("pallas decode loop == xla loop", decode_loop_check)
 
+    def beam_loop_check():
+        from functools import partial
+
+        from amira_rust_asr_server_tpu.ops.beam import (BeamTrace, backtrace,
+                                                        beam_decode)
+        from amira_rust_asr_server_tpu.ops.pallas.beam_loop import (
+            beam_loop_pallas)
+        cfg = model.config
+        brng = np.random.default_rng(11)
+        b, t, beam, s_max = 2, 12, 4, 3
+        enc = jnp.asarray(
+            brng.standard_normal((b, t, cfg.d_enc)).astype(np.float32))
+        enc_lens = jnp.asarray([t, t - 4], jnp.int32)
+        enc_pre = model.joint_precompute_enc(params, enc)
+        bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        want = beam_decode(
+            partial(model.predict_step, params),
+            partial(model.joint_step_pre, params),
+            enc_pre, enc_lens, model.init_state(b), cfg.blank_id,
+            beam_width=beam, max_expansions=s_max,
+            vocab_size=cfg.vocab_size)
+        outs = beam_loop_pallas(
+            enc_pre, enc_lens, *model.init_state(b), bias,
+            params["predictor"], params["joint"], beam_width=beam,
+            max_expansions=s_max, blank_id=cfg.blank_id)
+        scores, lens_, expp, expt, pps, ppk = [np.asarray(o) for o in outs]
+        got = BeamTrace(pool_scores=scores, pool_lens=lens_,
+                        exp_parent=expp, exp_token=expt,
+                        pool_parent_s=pps, pool_parent_k=ppk,
+                        pool_final=np.ones_like(scores, bool))
+        np.testing.assert_allclose(scores, np.asarray(want.pool_scores),
+                                   rtol=2e-2, atol=2e-2)
+        w = backtrace(want, np.asarray(enc_lens), n_best=2)
+        g = backtrace(got, np.asarray(enc_lens), n_best=2)
+        np.testing.assert_array_equal(g.tokens, w.tokens)
+        np.testing.assert_array_equal(g.counts, w.counts)
+
+    ok &= check("pallas beam loop == xla beam", beam_loop_check)
+
     # 4. pipeline smoke + determinism -------------------------------------
     def pipeline_check():
         vocab = Vocabulary.from_map(
