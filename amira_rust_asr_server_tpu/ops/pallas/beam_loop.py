@@ -57,7 +57,7 @@ def _dot(a, b):
 
 
 def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
-                 blank_id: int, d_pred: int, d_joint: int):
+                 blank_id: int):
     bk = b * k
 
     def kernel(enc_ref, enc_lens_ref, h0_ref, c0_ref, bias_ref,
@@ -341,8 +341,12 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     s_max = max_expansions
     bk = b * k
     vocab = joint_params["out"]["w"].shape[1]
-    d_pred = pred_params["lstm"][0]["w"].shape[1] // 4
     dt = enc_pre.dtype
+    # the kernel hardcodes the 2-layer prediction LSTM of the reference
+    # contract (states [2, B, 640]); other depths must use the XLA beam
+    assert len(pred_params["lstm"]) == 2, (
+        "beam_loop_pallas supports pred_layers == 2 only; "
+        "route other models to ops.beam.beam_decode")
 
     wo_pad, bo_pad = pad_joint_params(joint_params, vocab)
     embed_pad = jnp.pad(pred_params["embed"],
@@ -353,8 +357,7 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     h_bk = jnp.repeat(init_h, k, axis=1).astype(dt)       # [L, BK, P]
     c_bk = jnp.repeat(init_c, k, axis=1).astype(dt)
 
-    kernel = _make_kernel(b, k, t_max, s_max, VOCAB_PAD, blank_id,
-                          d_pred, d_joint)
+    kernel = _make_kernel(b, k, t_max, s_max, VOCAB_PAD, blank_id)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((b, k), jnp.float32),         # pool scores

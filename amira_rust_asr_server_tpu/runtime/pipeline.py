@@ -332,12 +332,37 @@ class AsrPipeline:
                                                graph=graph, n_best=n_best)
         return res, fls[0], els[0]
 
+    def _beam_trace_via_kernel(self, params, enc_pre, enc_lens, bias, *,
+                               beam_width, max_expansions,
+                               interpret=False):
+        """Assemble a BeamTrace from the whole-scan Pallas kernel.
+
+        Split out of _beam_forward so the wiring (arg order, bias-None
+        default, trace-field assembly) is testable on CPU in interpret
+        mode (tests/test_pallas_beam_loop.py) — the backend gate keeps
+        the branch itself un-exercised under pytest."""
+        from ..ops.beam import BeamTrace
+        from ..ops.pallas.beam_loop import beam_loop_pallas
+        mcfg = self.model.config
+        h, c = self.model.init_state(enc_pre.shape[0], dtype=enc_pre.dtype)
+        bias_vec = (jnp.zeros((mcfg.vocab_size,), jnp.float32)
+                    if bias is None else bias)
+        scores, lens_, expp, expt, pps, ppk = beam_loop_pallas(
+            enc_pre, enc_lens, h, c, bias_vec,
+            params["predictor"], params["joint"],
+            beam_width=beam_width, max_expansions=max_expansions,
+            blank_id=mcfg.blank_id, interpret=interpret)
+        return BeamTrace(
+            pool_scores=scores, pool_lens=lens_, exp_parent=expp,
+            exp_token=expt, pool_parent_s=pps, pool_parent_k=ppk,
+            pool_final=jnp.ones(scores.shape, bool))
+
     def _beam_forward(self, params, audio, audio_lens, bias, graph, *,
                       beam_width, max_expansions):
         """One jitted program: mel -> encode -> beam scan (device trace).
         ``bias``/``graph`` ride as pytree args so swapping a grammar or
         bias vector reuses the compiled program (no recompile)."""
-        from ..ops.beam import BeamTrace, beam_decode
+        from ..ops.beam import beam_decode
         mcfg = self.model.config
         feats, feat_lens = log_mel_features(
             audio, audio_lens, n_mels=mcfg.n_mels)
@@ -345,24 +370,16 @@ class AsrPipeline:
             params, feats.astype(self.compute_dtype), feat_lens)
         enc_pre = self.model.joint_precompute_enc(params, enc)
         if (graph is None and self.config.use_pallas_beam_loop
+                and mcfg.pred_layers == 2
                 and jax.default_backend() == "tpu"):
             # whole beam scan as one persistent kernel (weights
             # VMEM-resident; see ops/pallas/beam_loop.py); the
-            # graph-constrained search keeps the XLA scan below
-            from ..ops.pallas.beam_loop import beam_loop_pallas
-            h, c = self.model.init_state(enc.shape[0], dtype=enc.dtype)
-            bias_vec = (jnp.zeros((mcfg.vocab_size,), jnp.float32)
-                        if bias is None else bias)
-            scores, lens_, expp, expt, pps, ppk = beam_loop_pallas(
-                enc_pre, enc_lens, h, c, bias_vec,
-                params["predictor"], params["joint"],
-                beam_width=beam_width, max_expansions=max_expansions,
-                blank_id=mcfg.blank_id)
-            trace = BeamTrace(
-                pool_scores=scores, pool_lens=lens_, exp_parent=expp,
-                exp_token=expt, pool_parent_s=pps, pool_parent_k=ppk,
-                pool_final=jnp.ones(scores.shape, bool))
-            return trace, feat_lens, enc_lens
+            # graph-constrained search — and any non-2-layer prediction
+            # net, which the kernel hardcodes — keeps the XLA scan below
+            return (self._beam_trace_via_kernel(
+                params, enc_pre, enc_lens, bias,
+                beam_width=beam_width, max_expansions=max_expansions),
+                feat_lens, enc_lens)
         trace = beam_decode(
             partial(self.model.predict_step, params),
             partial(self.model.joint_step_pre, params),

@@ -17,7 +17,7 @@ from amira_rust_asr_server_tpu.ops.beam import backtrace, beam_decode, BeamTrace
 from amira_rust_asr_server_tpu.ops.pallas.beam_loop import beam_loop_pallas
 
 
-def _setup(seed=0, b=2, t=7, beam=3):
+def _setup(seed=0, b=2, t=7):
     model = Transducer.from_preset("tiny")
     cfg = model.config
     params = model.init(jax.random.PRNGKey(seed))
@@ -90,7 +90,7 @@ def test_kernel_matches_xla_beam(bias_on):
 
 def test_kernel_matches_xla_beam_wider():
     """Larger beam + 3 expansions + uneven lengths."""
-    model, cfg, params, enc_pre, enc_lens = _setup(seed=3, b=3, t=9, beam=4)
+    model, cfg, params, enc_pre, enc_lens = _setup(seed=3, b=3, t=9)
     want = _run_xla(model, cfg, params, enc_pre, enc_lens, 4, 3, None)
     got = _run_kernel(model, cfg, params, enc_pre, enc_lens, 4, 3, None)
     np.testing.assert_allclose(np.asarray(got.pool_scores),
@@ -100,3 +100,28 @@ def test_kernel_matches_xla_beam_wider():
     g = backtrace(got, np.asarray(enc_lens), n_best=2)
     assert np.array_equal(g.tokens, w.tokens)
     assert np.array_equal(g.counts, w.counts)
+
+
+def test_pipeline_kernel_wiring_matches_xla():
+    """The pipeline's Pallas-beam branch (arg order, bias-None default,
+    BeamTrace assembly) — exercised via _beam_trace_via_kernel in
+    interpret mode, since the backend gate keeps the branch off on CPU."""
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+    model, cfg, params, enc_pre, enc_lens = _setup(seed=5)
+    pipe = AsrPipeline(model, params,
+                       Vocabulary.from_map({i: f"w{i}" for i in range(9)}),
+                       Config(audio_sec_buckets=[0.5], batch_buckets=[2],
+                              decoding_mode="beam", beam_width=3,
+                              compute_dtype="float32"))
+    got = pipe._beam_trace_via_kernel(
+        pipe.params, enc_pre, enc_lens, None,
+        beam_width=3, max_expansions=2, interpret=True)
+    want = _run_xla(model, cfg, pipe.params, enc_pre, enc_lens, 3, 2, None)
+    w = backtrace(want, np.asarray(enc_lens), n_best=2)
+    g = backtrace(got, np.asarray(enc_lens), n_best=2)
+    assert np.array_equal(g.tokens, w.tokens)
+    assert np.array_equal(g.counts, w.counts)
+    assert bool(np.all(np.asarray(got.pool_final)))

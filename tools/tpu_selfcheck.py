@@ -221,7 +221,8 @@ def main() -> None:
         outs = beam_loop_pallas(
             enc_pre, enc_lens, *model.init_state(b), bias,
             params["predictor"], params["joint"], beam_width=beam,
-            max_expansions=s_max, blank_id=cfg.blank_id)
+            max_expansions=s_max, blank_id=cfg.blank_id,
+            interpret=dev.platform == "cpu")
         scores, lens_, expp, expt, pps, ppk = [np.asarray(o) for o in outs]
         got = BeamTrace(pool_scores=scores, pool_lens=lens_,
                         exp_parent=expp, exp_token=expt,
