@@ -79,8 +79,12 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
         ref: src/asr/incremental.rs:51,143).
       init_pred_out / init_last_token: carried prediction-net output and
         last emitted token for stream resume; None = fresh (SOS/blank).
-      token_offset: [B] number of tokens already emitted in this session
-        (counts toward the ``max_total`` budget, ref MAX_TOTAL_TOKENS=200).
+      token_offset: [B] tokens pre-counted toward this call's ``max_total``
+        budget. Callers pass 0 for reference parity: MAX_TOTAL_TOKENS is a
+        per-decode-call budget (the reference's counter is local to each
+        greedy_decode, ref: decoder_optimized.rs:78-92,229-243), never a
+        session accumulator — a session accumulator would silently mute
+        streams past ~200 tokens.
 
     Returns a :class:`GreedyResult`; all outputs stay on device.
     """
@@ -98,9 +102,8 @@ def greedy_decode(pred_fn: PredFn, joint_fn: JointFn, enc: jax.Array,
 
     def cond(carry):
         t, counts, *_ = carry
-        # `counts` includes token_offset: the max_total budget spans the
-        # whole decode session, not just this call (ref: MAX_TOTAL_TOKENS
-        # caps a session, constants.rs:136)
+        # `counts` starts at token_offset (0 from all serving callers —
+        # per-call budget, see the docstring) and caps at max_total
         return jnp.any((t < enc_lens) & (counts < max_total))
 
     def body(carry):

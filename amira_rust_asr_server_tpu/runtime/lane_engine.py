@@ -210,7 +210,10 @@ class StreamingLaneEngine:
             active[lane] = True
             enc_lens[lane] = -(-real // sub)  # only real frames decode
 
-        offsets = np.asarray([len(t) for t in self.tokens], np.int32)
+        # max_total budget is per chunk-step (reference parity: the
+        # counter is local to each greedy_decode call,
+        # ref: decoder_optimized.rs:78-92) — long sessions keep emitting.
+        offsets = np.zeros((self.n_lanes,), np.int32)
         cache2, res = self._step(
             self.params, jnp.asarray(feats, self._dtype),
             jnp.asarray(active), jnp.asarray(enc_lens), self.enc_cache,

@@ -226,9 +226,10 @@ class NativeStreamSession:
             state, pred_out, last = (carry.state, carry.pred_out,
                                      carry.last_token)
 
-        # the max_total budget spans the whole stream session (parity
-        # with MAX_TOTAL_TOKENS semantics, constants.rs:136)
-        offset = jnp.array([len(self.state.tokens)], jnp.int32)
+        # the max_total budget is per chunk-step: the reference's counter
+        # is local to each greedy_decode call (decoder_optimized.rs:78-92),
+        # so a long session never goes silent at 200 cumulative tokens
+        offset = jnp.zeros((1,), jnp.int32)
         self.state.enc_cache, res = self._step(
             self.params, feats_dev, self.state.enc_cache,
             jnp.array([n_enc], jnp.int32), state, pred_out, last, offset)

@@ -14,7 +14,7 @@ config.batch_buckets) so XLA compiles a handful of programs once and
 reuses them — the TPU-native replacement for the reference's
 connection pool + per-symbol round-trips.
 
-Streaming state (prediction-net h/c, last token, token budget) stays on
+Streaming state (prediction-net h/c, last token) stays on
 device between chunks: :class:`StreamState` is the HBM-resident analogue of
 the reference's DecoderState (ref: src/asr/types.rs:157-181).
 """
@@ -48,7 +48,11 @@ class StreamState:
     state: Tuple[jax.Array, jax.Array]  # prediction-net (h, c) [L, 1, P]
     pred_out: jax.Array                 # [1, P]
     last_token: jax.Array               # [1] int32
-    tokens_emitted: int = 0             # counts toward MAX_TOTAL_TOKENS
+    # Session statistic only — NOT a budget. The MAX_TOTAL_TOKENS budget
+    # is per decode call, matching the reference (its counter is local to
+    # each greedy_decode invocation, ref: src/asr/decoder_optimized.rs:
+    # 78-92,229-243), so long streams keep transcribing past 200 tokens.
+    tokens_emitted: int = 0
 
 
 class AsrPipeline:
@@ -109,14 +113,33 @@ class AsrPipeline:
             self._beam_forward,
             static_argnames=("beam_width", "max_expansions"))
         # optional decoding-graph constraint (k2 parity): a grammar file of
-        # phrases compiles once into a device-resident token trie
+        # phrases compiles once into a device-resident WEIGHTED token trie.
+        # Line format: "phrase" or "phrase<TAB>log_weight" (e.g. unigram
+        # log-probs) — the weighted-FSA analogue of k2's DECODING_GRAPH_PATH
+        # (ref: k2_decoder_backend.cc:63-253).
         self.beam_graph = None
         if cfg.beam_grammar_path:
             from ..ops.beam import TokenTrie
+            phrases, weights, any_w = [], [], False
             with open(cfg.beam_grammar_path, "r", encoding="utf-8") as f:
-                phrases = [ln.strip() for ln in f if ln.strip()]
+                for ln in f:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    phrase, sep, w = ln.rpartition("\t")
+                    if sep and phrase:
+                        try:
+                            weights.append(float(w))
+                            phrases.append(phrase.strip())
+                            any_w = True
+                            continue
+                        except ValueError:
+                            pass
+                    phrases.append(ln)
+                    weights.append(0.0)
             self.beam_graph = TokenTrie.from_phrases(
-                vocab, phrases, self.model.config.vocab_size)
+                vocab, phrases, self.model.config.vocab_size,
+                weights=weights if any_w else None)
 
     # ------------------------------------------------------------------
     # jitted core
@@ -292,6 +315,10 @@ class AsrPipeline:
         c0 = np.tile(fresh_state[1], (1, b, 1))
         pred0 = np.tile(fresh_out, (b, 1))
         last_token = np.full((b,), mcfg.blank_id, np.int32)
+        # token_offset stays 0: the max_total budget is per decode call
+        # (the reference resets its counter in every greedy_decode,
+        # ref: decoder_optimized.rs:78-92) — carrying the session count
+        # here would silently mute any stream past ~200 tokens.
         token_offset = np.zeros((b,), np.int32)
         for i in range(b_real):
             st = stream_states[i]
@@ -300,7 +327,6 @@ class AsrPipeline:
                 c0[:, i] = np.asarray(st.state[1])[:, 0]
                 pred0[i] = np.asarray(st.pred_out)[0]
                 last_token[i] = int(np.asarray(st.last_token)[0])
-                token_offset[i] = st.tokens_emitted
         pred_out = jnp.asarray(pred0)
 
         res, feat_lens, enc_lens = self._fwd(

@@ -82,17 +82,22 @@ def test_native_session_transcript_append_only(causal_model, rng):
     assert final.text.startswith(prev)
 
 
-def test_session_token_budget_spans_chunks(causal_model, rng):
-    """max_total caps the whole stream session, not each chunk."""
+def test_token_budget_is_per_chunk_step(causal_model, rng):
+    """max_total budgets each decode call, NOT the session: the
+    reference keeps the counter local to every greedy_decode invocation
+    (ref: src/asr/decoder_optimized.rs:78-92,229-243), so long streams
+    keep transcribing past max_total cumulative tokens."""
     model, params, vocab = causal_model
     # babble-prone params: undo the blank bias for this test
     params = jax.tree_util.tree_map(lambda x: x, params)
     params["joint"]["out"]["b"] = (
         params["joint"]["out"]["b"].at[model.config.blank_id].add(-2.0))
     sess = NativeStreamSession(model, params, vocab, chunk_frames=16,
-                               norm="none", max_total=25)
+                               norm="none", max_total=5)
     wave = (rng.standard_normal(32000) * 0.5).astype(np.float32)
     for i in range(0, 32000, 4000):
         sess.feed(wave[i:i + 4000])
     tr = sess.end()
-    assert len(tr.tokens) <= 25
+    # a per-session budget would cap the whole stream at 5; per-call
+    # budgets keep emitting chunk after chunk
+    assert len(tr.tokens) > 5
