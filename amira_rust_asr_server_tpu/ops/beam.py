@@ -56,61 +56,124 @@ NEG_INF = -1e30
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TokenTrie:
-    """Dense device-resident decoding graph over token ids.
+    """Dense device-resident WEIGHTED decoding graph over token ids.
 
     ``next_state[s, v]`` is the state reached from ``s`` by emitting token
     ``v`` (-1 = illegal transition); state 0 is the root. ``is_final[s]``
-    marks states where a hypothesis may legally end. Built host-side from
-    a lexicon/grammar (:meth:`from_token_seqs`); with ``loop=True`` final
-    states also accept the root's continuations (word-loop grammar), which
-    is baked into the table so the device kernel is a single gather.
+    marks states where a hypothesis may legally end. Weighted-FSA parity
+    with k2 (the reference intersects a *weighted* FSA and ranks by total
+    weight, ref: k2_decoder_backend.cc:63-253 IntersectDensePruned /
+    ShortestPath): ``arc_weight[s, v]`` is the log-space weight added to a
+    hypothesis when it takes that arc (shapes pruning DURING the search,
+    like k2's intersection) and ``final_weight[s]`` is added when a
+    hypothesis ends at state ``s`` (k2 final-arc weight). All-zero weights
+    recover the boolean legality trie. Built host-side from a
+    lexicon/grammar (:meth:`from_token_seqs`) or directly from dense
+    tables (:meth:`from_tables`, arbitrary weighted-FSA topologies);
+    with ``loop=True`` final states also accept the root's continuations
+    (word-loop grammar) at the root's arc weights, baked into the table so
+    the device kernel is a single gather.
     """
 
-    next_state: jax.Array   # [N, V] int32
-    is_final: jax.Array     # [N] bool
+    next_state: jax.Array    # [N, V] int32
+    is_final: jax.Array      # [N] bool
+    arc_weight: jax.Array    # [N, V] float32 (log-space, 0 = unweighted)
+    final_weight: jax.Array  # [N] float32
 
     @classmethod
-    def from_token_seqs(cls, seqs, vocab_size: int,
-                        loop: bool = True) -> "TokenTrie":
-        """Compile token sequences (each a legal phrase/word) to a trie."""
+    def from_token_seqs(cls, seqs, vocab_size: int, loop: bool = True,
+                        weights: Optional[List[float]] = None,
+                        final_weights: Optional[List[float]] = None
+                        ) -> "TokenTrie":
+        """Compile token sequences (each a legal phrase/word) to a trie.
+
+        ``weights[i]`` (log-space, e.g. a unigram log-prob) is placed on
+        the LAST arc of ``seqs[i]`` — the standard weighted-lexicon
+        convention (cost realized when the word/phrase completes, so
+        shared prefixes stay unweighted). ``final_weights[i]`` lands on
+        the sequence's final state.
+        """
         children: List[dict] = [{}]   # node -> {token: child}
         final: List[bool] = [False]
-        for seq in seqs:
+        arc_w: List[dict] = [{}]      # node -> {token: weight}
+        fin_w: List[float] = [0.0]
+        for i, seq in enumerate(seqs):
             node = 0
-            for tok in seq:
+            for j, tok in enumerate(seq):
                 tok = int(tok)
                 if tok not in children[node]:
                     children.append({})
                     final.append(False)
+                    arc_w.append({})
+                    fin_w.append(0.0)
                     children[node][tok] = len(children) - 1
+                if weights is not None and j == len(seq) - 1:
+                    # last arc carries the sequence weight; on a shared
+                    # last arc keep the best (max) weight, like an FSA
+                    # union of the weighted paths
+                    prev = arc_w[node].get(tok)
+                    w = float(weights[i])
+                    arc_w[node][tok] = w if prev is None else max(prev, w)
                 node = children[node][tok]
             if seq:
                 final[node] = True
+                if final_weights is not None:
+                    fin_w[node] = float(final_weights[i])
         n = len(children)
         table = np.full((n, vocab_size), -1, np.int32)
+        wtable = np.zeros((n, vocab_size), np.float32)
         for node, ch in enumerate(children):
             for tok, nxt in ch.items():
                 table[node, tok] = nxt
+            for tok, w in arc_w[node].items():
+                wtable[node, tok] = w
         if loop:
             # final states restart at the root: inherit root transitions
-            # where the state has no own continuation
+            # (and their arc weights) where the state has no continuation
             root_row = table[0]
+            root_w = wtable[0]
             for node in range(n):
                 if final[node]:
                     free = table[node] < 0
                     table[node, free] = root_row[free]
+                    wtable[node, free] = root_w[free]
         return cls(next_state=jnp.asarray(table),
-                   is_final=jnp.asarray(np.asarray(final)))
+                   is_final=jnp.asarray(np.asarray(final)),
+                   arc_weight=jnp.asarray(wtable),
+                   final_weight=jnp.asarray(np.asarray(fin_w, np.float32)))
+
+    @classmethod
+    def from_tables(cls, next_state, is_final, arc_weight=None,
+                    final_weight=None) -> "TokenTrie":
+        """Arbitrary weighted-FSA topology from dense host tables."""
+        next_state = np.asarray(next_state, np.int32)
+        n, v = next_state.shape
+        return cls(
+            next_state=jnp.asarray(next_state),
+            is_final=jnp.asarray(np.asarray(is_final, bool)),
+            arc_weight=jnp.asarray(
+                np.zeros((n, v), np.float32) if arc_weight is None
+                else np.asarray(arc_weight, np.float32)),
+            final_weight=jnp.asarray(
+                np.zeros((n,), np.float32) if final_weight is None
+                else np.asarray(final_weight, np.float32)))
 
     @classmethod
     def from_phrases(cls, vocab, phrases: List[str], vocab_size: int,
-                     loop: bool = True) -> "TokenTrie":
+                     loop: bool = True,
+                     weights: Optional[List[float]] = None) -> "TokenTrie":
         return cls.from_token_seqs(
-            [vocab.encode_text(p) for p in phrases], vocab_size, loop=loop)
+            [vocab.encode_text(p) for p in phrases], vocab_size, loop=loop,
+            weights=weights)
 
     @property
     def n_states(self) -> int:
         return self.next_state.shape[0]
+
+    @property
+    def weighted(self) -> bool:
+        return bool(jnp.any(self.arc_weight != 0.0)
+                    | jnp.any(self.final_weight != 0.0))
 
 
 @jax.tree_util.register_dataclass
@@ -265,9 +328,13 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
             # ---- label expansions -> next micro-step C -----------------
             lab = lp.at[:, :, blank_id].set(NEG_INF)
             if graph is not None:
-                # decoding-graph constraint: only trie-legal continuations
+                # decoding-graph constraint: only trie-legal continuations,
+                # with the arc's graph weight added (weighted-FSA parity:
+                # k2's intersection sums acoustic + graph arc scores, so
+                # weights shape pruning during the search, not just the
+                # final ranking)
                 legal = graph.next_state[c_g] >= 0          # [B, K, V]
-                lab = jnp.where(legal, lab, NEG_INF)
+                lab = jnp.where(legal, lab + graph.arc_weight[c_g], NEG_INF)
             cand = c_scores[:, :, None] + lab                   # [B, K, V]
             cand = jnp.where(active[:, None, None], cand, NEG_INF)
             flat = cand.reshape(b, k * v)
@@ -307,8 +374,14 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
      (exp_parent, exp_token, pool_ps, pool_pk)) = \
         jax.lax.scan(frame_step, init, (enc_tb, t_indices))
 
-    pool_final = (graph.is_final[g_f] | (lens_f == 0)
-                  if graph is not None else jnp.ones((b, k), bool))
+    if graph is not None:
+        pool_final = graph.is_final[g_f] | (lens_f == 0)
+        # k2 final-weight parity: a hypothesis ending at a final state
+        # collects that state's final weight in its total score
+        scores_f = scores_f + jnp.where(
+            graph.is_final[g_f] & (lens_f > 0), graph.final_weight[g_f], 0.0)
+    else:
+        pool_final = jnp.ones((b, k), bool)
     return BeamTrace(pool_scores=scores_f, pool_lens=lens_f,
                      exp_parent=exp_parent, exp_token=exp_token,
                      pool_parent_s=pool_ps, pool_parent_k=pool_pk,

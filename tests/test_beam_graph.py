@@ -183,6 +183,167 @@ def test_beam_matches_exhaustive_oracle():
 
 
 # ---------------------------------------------------------------------------
+# WEIGHTED decoding graphs (k2 weighted-FSA parity,
+# ref: k2_decoder_backend.cc:63-253 IntersectDensePruned/ShortestPath)
+# ---------------------------------------------------------------------------
+def test_weighted_trie_structure():
+    """Sequence weights land on the LAST arc; final weights on the final
+    state; loop inheritance copies root arc weights."""
+    trie = TokenTrie.from_token_seqs(
+        [[1, 2], [1]], vocab_size=4, loop=True,
+        weights=[-1.5, -0.25], final_weights=[0.5, 0.0])
+    nxt = np.asarray(trie.next_state)
+    aw = np.asarray(trie.arc_weight)
+    fw = np.asarray(trie.final_weight)
+    n1 = nxt[0, 1]
+    n12 = nxt[n1, 2]
+    assert aw[0, 1] == -0.25          # [1]'s last arc (shared first arc)
+    assert aw[n1, 2] == -1.5          # [1,2]'s last arc
+    assert fw[n12] == 0.5 and fw[n1] == 0.0
+    # loop: final state n12 inherits root's arc 1 WITH its weight
+    assert nxt[n12, 1] == n1 and aw[n12, 1] == -0.25
+    # unweighted default stays all-zero (boolean special case)
+    plain = TokenTrie.from_token_seqs([[1, 2]], vocab_size=4)
+    assert not np.asarray(plain.arc_weight).any()
+    assert not np.asarray(plain.final_weight).any()
+    assert not plain.weighted and trie.weighted
+
+
+def test_from_tables_arbitrary_fsa():
+    nxt = np.array([[1, -1, -1, -1], [-1, 0, -1, -1]], np.int32)
+    trie = TokenTrie.from_tables(nxt, [False, True],
+                                 arc_weight=[[-.5, 0, 0, 0], [0, 0, 0, 0]],
+                                 final_weight=[0.0, -2.0])
+    assert trie.n_states == 2
+    assert float(np.asarray(trie.final_weight)[1]) == -2.0
+    plain = TokenTrie.from_tables(nxt, [False, True])
+    assert not plain.weighted
+
+
+def test_graph_weights_flip_the_winner():
+    """Acoustics prefer token 0; the graph weight on phrase [1] outweighs
+    the acoustic gap, so the weighted search must return [1] — the k2
+    property that the best WEIGHTED path differs from the best acoustic
+    path."""
+    t = 2
+    enc = jnp.zeros((1, t, 1))
+    lp = np.log
+
+    def joint(enc_frame, pred_out):
+        last = pred_out[:, 0].astype(jnp.int32)
+        # from SOS: p(0)=0.4 > p(1)=0.2; after any label, blank is likely
+        sos = jnp.asarray([lp(0.4), lp(0.2), lp(0.05), lp(0.35)])
+        after = jnp.asarray([lp(0.02), lp(0.02), lp(0.02), lp(0.94)])
+        table = jnp.stack([after, after, after, sos])
+        return table[jnp.clip(last, 0, 3)]
+
+    unweighted = TokenTrie.from_token_seqs([[0], [1]], vocab_size=VOCAB,
+                                           loop=False)
+    res = run_beam(joint, enc, [t], k=4, s=2, graph=unweighted)
+    assert res.tokens[0, :res.counts[0]].tolist() == [0]
+
+    # log(0.2) + w > log(0.4)  <=>  w > log(2) ~ 0.69
+    weighted = TokenTrie.from_token_seqs([[0], [1]], vocab_size=VOCAB,
+                                         loop=False, weights=[0.0, 1.5])
+    res = run_beam(joint, enc, [t], k=4, s=2, graph=weighted)
+    assert res.tokens[0, :res.counts[0]].tolist() == [1]
+    # the winning score includes the graph weight (acoustic + graph total)
+    free = run_beam(joint, enc, [t], k=4, s=2)
+    assert res.scores[0] > free.scores[0] - 1e-3
+
+
+def test_final_weights_rank_hypotheses():
+    """Two complete phrases, same acoustics: the final weight decides."""
+    t = 2
+    enc = jnp.zeros((1, t, 1))
+    lp = np.log
+
+    def joint(enc_frame, pred_out):
+        last = pred_out[:, 0].astype(jnp.int32)
+        sos = jnp.asarray([lp(0.3), lp(0.3), lp(0.05), lp(0.35)])
+        after = jnp.asarray([lp(0.02), lp(0.02), lp(0.02), lp(0.94)])
+        table = jnp.stack([after, after, after, sos])
+        return table[jnp.clip(last, 0, 3)]
+
+    g = TokenTrie.from_token_seqs([[0], [1]], vocab_size=VOCAB, loop=False,
+                                  final_weights=[-3.0, 0.0])
+    res = run_beam(joint, enc, [t], k=4, s=2, graph=g)
+    assert res.tokens[0, :res.counts[0]].tolist() == [1]
+    g2 = TokenTrie.from_token_seqs([[0], [1]], vocab_size=VOCAB, loop=False,
+                                   final_weights=[0.0, -3.0])
+    res2 = run_beam(joint, enc, [t], k=4, s=2, graph=g2)
+    assert res2.tokens[0, :res2.counts[0]].tolist() == [0]
+
+
+def _oracle_best_weighted(table, t_frames, s_max, nxt, fin, aw, fw):
+    """Exhaustive max over all graph-legal alignments, scoring acoustic +
+    arc weights + final weight (the ShortestPath total-weight objective).
+    Non-final endings are demoted exactly like backtrace (-1e12)."""
+    best = (-np.inf, [])
+
+    def rec(t, last, g, score, seq):
+        nonlocal best
+        if t == t_frames:
+            total = score
+            if seq and fin[g]:
+                total += fw[g]
+            elif seq:
+                total -= 1e12
+            if total > best[0]:
+                best = (total, list(seq))
+            return
+
+        def emit(depth, last, g, score, seq):
+            rec(t + 1, last, g, score + table[last, BLANK], seq)
+            if depth == s_max - 1:
+                return
+            for v in range(BLANK):
+                if nxt[g, v] < 0:
+                    continue
+                seq.append(v)
+                emit(depth + 1, v, nxt[g, v],
+                     score + table[last, v] + aw[g, v], seq)
+                seq.pop()
+        emit(0, last, g, score, seq)
+
+    rec(0, BLANK, 0, 0.0, [])
+    return best
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_weighted_beam_matches_exhaustive_oracle(seed):
+    """Full-width beam over a random lattice + random WEIGHTED grammar must
+    find exactly the oracle's best total-weight path."""
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((4, VOCAB)) * 2.0
+    table = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+
+    graph = TokenTrie.from_token_seqs(
+        [[0, 1], [1], [2, 0]], vocab_size=VOCAB, loop=True,
+        weights=list(rng.standard_normal(3) * 2.0),
+        final_weights=list(rng.standard_normal(3)))
+    nxt = np.asarray(graph.next_state)
+    fin = np.asarray(graph.is_final)
+    aw = np.asarray(graph.arc_weight)
+    fw = np.asarray(graph.final_weight)
+
+    t_frames, s_max = 3, 3
+    jt = jnp.asarray(table, jnp.float32)
+
+    def joint(enc_frame, pred_out):
+        last = jnp.clip(pred_out[:, 0].astype(jnp.int32), 0, 3)
+        return jt[last]
+
+    enc = jnp.zeros((1, t_frames, 1))
+    res = run_beam(joint, enc, [t_frames], k=16, s=s_max, graph=graph)
+    want_score, want_seq = _oracle_best_weighted(
+        table, t_frames, s_max, nxt, fin, aw, fw)
+    got = res.tokens[0, :res.counts[0]].tolist()
+    assert got == want_seq, (got, want_seq)
+    assert abs(res.scores[0] - want_score) < 1e-3
+
+
+# ---------------------------------------------------------------------------
 # real-model grammar constraint + pipeline/serving integration
 # ---------------------------------------------------------------------------
 import pathlib
@@ -255,6 +416,61 @@ def test_pipeline_grammar_path_config(digits, tmp_path):
                         rng=np.random.default_rng(22))
     tr = pipe.process_batch_samples(wave)
     assert tr.text == "one six"
+
+
+@needs_digits
+def test_weighted_grammar_golden_digits(digits):
+    """Weighted-grammar golden on the trained checkpoint: with both words
+    legal, a strong negative weight on the acoustically-correct word flips
+    the transcript to the weighted alternative — weights shape real-model
+    decodes, not just scripted lattices."""
+    from amira_rust_asr_server_tpu.ops import log_mel_features
+    from amira_rust_asr_server_tpu.testing import synth_digits
+    model, params, vocab = digits
+
+    wave = synth_digits(["two"], noise=0.004, rng=np.random.default_rng(5))
+    audio = np.zeros((1, 32000), np.float32)
+    audio[0, :len(wave)] = wave
+    feats, fl = log_mel_features(jnp.asarray(audio),
+                                 jnp.asarray([len(wave)], jnp.int32),
+                                 n_mels=model.config.n_mels)
+    enc, lens = model.encode(params, feats, fl)
+
+    neutral = TokenTrie.from_phrases(vocab, ["two", "five"],
+                                     model.config.vocab_size, loop=True)
+    res = beam_decode_transducer(model, params, enc, lens, beam_width=4,
+                                 graph=neutral)
+    assert vocab.decode_tokens(
+        res.tokens[0, :res.counts[0]].tolist()) == "two"
+
+    steered = TokenTrie.from_phrases(vocab, ["two", "five"],
+                                     model.config.vocab_size, loop=True,
+                                     weights=[-50.0, 0.0])
+    res = beam_decode_transducer(model, params, enc, lens, beam_width=4,
+                                 graph=steered)
+    assert vocab.decode_tokens(
+        res.tokens[0, :res.counts[0]].tolist()) == "five"
+
+
+@needs_digits
+def test_pipeline_weighted_grammar_file(digits, tmp_path):
+    """Grammar file lines may carry per-phrase TAB-separated log weights."""
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.testing import synth_digits
+    model, params, vocab = digits
+    grammar = tmp_path / "grammar_weighted.txt"
+    grammar.write_text("one\t-50.0\nsix\t0.0\n", encoding="utf-8")
+    cfg = Config(audio_sec_buckets=[2.0], batch_buckets=[1],
+                 decoding_mode="beam", beam_width=4,
+                 beam_grammar_path=str(grammar), compute_dtype="float32")
+    pipe = AsrPipeline(model, params, vocab, cfg)
+    assert pipe.beam_graph is not None and pipe.beam_graph.weighted
+    wave = synth_digits(["one"], noise=0.004,
+                        rng=np.random.default_rng(23))
+    tr = pipe.process_batch_samples(wave)
+    # "one" is acoustically right but carries -50; "six" wins
+    assert tr.text == "six"
 
 
 def test_beam_honors_max_total_budget():
