@@ -23,14 +23,19 @@ import numpy as np
 
 SAMPLE_RATE = 16000
 WORD_SECONDS = 0.22
-GAP_SECONDS = 0.06
+# 0.1 s gap: long repeat runs of the SAME digit need a clearly visible
+# boundary in the mel features or the model merges them (measured: 0.06 s
+# gaps cost ~8% exact-match, dominated by repeat-count deletions)
+GAP_SECONDS = 0.10
 EDGE_SECONDS = 0.08  # leading/trailing silence
 
 DIGIT_WORDS = ["zero", "one", "two", "three", "four",
                "five", "six", "seven", "eight", "nine"]
 
-# Distinct fundamentals, comfortably separated in mel space (300..1470 Hz).
-_F0 = [300.0 + 130.0 * i for i in range(10)]
+# Distinct fundamentals, GEOMETRICALLY spaced (300..1800 Hz) so adjacent
+# digits stay equally separated on the mel (log-frequency) axis — linear
+# spacing compresses the high digits together (five/six confusions).
+_F0 = [300.0 * (1800.0 / 300.0) ** (i / 9.0) for i in range(10)]
 
 
 def digits_vocab_map() -> Dict[int, str]:
@@ -91,8 +96,15 @@ def random_sentence(rng: np.random.Generator, min_words: int = 2,
 def digit_batches(batch_size: int, *, audio_bucket: int = 32000,
                   label_bucket: int = 8, seed: int = 0,
                   noise: float = 0.02,
-                  min_words: int = 2, max_words: int = 6) -> Iterator:
-    """Endless TrainBatch stream of random digit sentences."""
+                  min_words: int = 2, max_words: int = 6,
+                  repeat_bias: float = 0.35) -> Iterator:
+    """Endless TrainBatch stream of random digit sentences.
+
+    ``repeat_bias``: probability of injecting a run of the SAME digit
+    (2-4 copies) into a sentence — uniform sampling rarely produces long
+    repeat runs, and under-trained repeat counting shows up as insertion/
+    deletion errors exactly there (measured: the dominant miss class).
+    """
     from ..parallel.data import pad_batch
 
     rng = np.random.default_rng(seed)
@@ -100,6 +112,10 @@ def digit_batches(batch_size: int, *, audio_bucket: int = 32000,
         waves, labels = [], []
         for _ in range(batch_size):
             words = random_sentence(rng, min_words, max_words)
+            if repeat_bias > 0.0 and rng.random() < repeat_bias:
+                pos = int(rng.integers(0, len(words)))
+                run = [words[pos]] * int(rng.integers(1, 4))
+                words = (words[:pos + 1] + run)[:max_words]
             amp = float(rng.uniform(0.15, 0.45))
             waves.append(synth_digits(words, noise=noise, amplitude=amp,
                                       rng=rng))

@@ -30,6 +30,14 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2e-3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--noise", type=float, default=0.02)
+    # Long-sentence coverage keeps the prediction-net state healthy deep
+    # into a stream: a model trained only on short utterances learns
+    # "after ~6 tokens, blank forever", which collapses carried-state
+    # window re-decodes in the chunked streaming mode.
+    parser.add_argument("--min-words", type=int, default=2)
+    parser.add_argument("--max-words", type=int, default=14)
+    parser.add_argument("--audio-bucket", type=int, default=80000)
+    parser.add_argument("--label-bucket", type=int, default=16)
     parser.add_argument("--eval-sentences", type=int, default=50)
     parser.add_argument("--min-acc", type=float, default=1.0)
     parser.add_argument("--ckpt-out", default="model-repo/tiny-digits")
@@ -59,16 +67,24 @@ def main() -> None:
                                                    write_digits_vocab)
     from amira_rust_asr_server_tpu.vocab import Vocabulary
 
+    import optax
     model = Transducer.from_preset("tiny")
-    optimizer = make_optimizer(lr=args.lr)
+    # cosine decay to lr/10 sharpens the convergence tail (repeat-count
+    # boundaries are the last thing the model gets right)
+    sched = optax.schedules.warmup_cosine_decay_schedule(
+        0.0, args.lr, 100, args.steps, end_value=args.lr * 0.1)
+    optimizer = make_optimizer(lr=sched)
     params, opt_state = init_training(
         model, jax.random.PRNGKey(args.seed), optimizer)
     step = make_train_step(model, optimizer)
     print(f"{model.param_count(params)/1e6:.2f}M params (tiny)")
 
-    audio_bucket = 32000
+    audio_bucket = args.audio_bucket
     batches = digit_batches(args.batch, audio_bucket=audio_bucket,
-                            seed=args.seed, noise=args.noise)
+                            label_bucket=args.label_bucket,
+                            seed=args.seed, noise=args.noise,
+                            min_words=args.min_words,
+                            max_words=args.max_words)
     t0 = time.time()
     for i, batch in enumerate(batches):
         if i >= args.steps:
@@ -94,7 +110,7 @@ def main() -> None:
     correct = 0
     misses = []
     for _ in range(args.eval_sentences):
-        words = random_sentence(rng)
+        words = random_sentence(rng, args.min_words, args.max_words)
         wave = synth_digits(words, noise=0.005, rng=rng)
         audio = np.zeros((1, audio_bucket), np.float32)
         audio[0, :len(wave)] = wave
