@@ -42,6 +42,13 @@ class Config:
     max_batch_audio_length_secs: float = C.MAX_BATCH_AUDIO_LENGTH_SECS
     stream_timeout_secs: float = C.STREAM_TIMEOUT_SECS
     keepalive_check_period_ms: int = C.KEEPALIVE_CHECK_PERIOD_MS
+    # Byte-faithful END wire parity: the reference routes the END control
+    # byte through its error path, so clients see an Error-status frame
+    # ("Server error: Request validation error: End of stream") BEFORE the
+    # final COMPLETE (ref: src/server/stream.rs:236-244, error.rs:144,208).
+    # Default off = clean COMPLETE-only finalization; turn on for clients
+    # written against the reference's exact traffic.
+    end_error_frame_parity: bool = False
 
     # -- model naming (parity, ref: config.rs:330-349) ----------------------
     preprocessor_model_name: str = C.PREPROCESSOR_MODEL_NAME
@@ -61,8 +68,10 @@ class Config:
     model_preset: str = "large"  # see models/presets.py
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
-    # "int8": encoder dense matmuls run W8A8 dynamic quant on the int8 MXU
-    # path (2x bf16 peak on v5e; ops/quant.py). Decode/joint stay bf16.
+    # "int8": encoder dense matmuls run W8A8 dynamic quant (bandwidth win:
+    # halved weight bytes + VMEM-resident int32 accumulator in the Pallas
+    # kernel — int8 lowers at the same MXU rate as bf16 here; ops/quant.py).
+    # Decode/joint stay bf16.
     quantization: str = "none"  # "none" | "int8"
 
     # Continuous batching: padded shape buckets to bound XLA recompiles.

@@ -17,7 +17,7 @@ matched by ops/greedy.py) runs inside a single kernel invocation:
     loop-carried registers/VMEM values.
 
 Semantics are exactly ops/greedy.greedy_decode's (same lookahead
-equivalence, max_symbols forced advance, max_total session budget, carry
+equivalence, max_symbols forced advance, max_total per-call budget, carry
 resume); equivalence is locked by tests/test_pallas_decode_loop.py
 (interpret mode vs the XLA loop) and tools/tpu_selfcheck.py on hardware.
 

@@ -1,9 +1,11 @@
 """Pallas W8A8 matmul: in-kernel activation quant + int8 MXU + fused dequant.
 
 The XLA-level quant path (ops/quant.quant_dense) measures only ~1.2x over
-bf16 on the v5e despite the MXU's 2x int8 rate: the int32 product tensor
-round-trips HBM before the dequant multiply, and the act-quant pass
-materializes again. Here one kernel does, per (TM, TN) output tile:
+bf16 on the v5e: the int32 product tensor round-trips HBM before the
+dequant multiply, and the act-quant pass materializes again. (Measured
+here: int8 dot lowers at the SAME MXU rate as bf16 — the whole win is
+bandwidth, so keeping intermediates in VMEM is the entire game.) This
+kernel does, per (TM, TN) output tile:
 
     VMEM:  x_tile [TM, K] bf16  ->  row amax -> scale -> int8
            wq_tile [K, TN] int8 (pre-quantized per-output-channel outside)
@@ -11,7 +13,8 @@ materializes again. Here one kernel does, per (TM, TN) output tile:
     VPU:   y = acc * (row_scale x col_scale) + bias -> bf16 -> HBM
 
 so HBM sees exactly: x read, wq read (once per M-tile pass), y write —
-the bf16-matmul traffic shape, at the int8 MXU rate.
+less traffic than the bf16 matmul (weights at half the bytes), with the
+int32 accumulator living and dying in VMEM.
 
 Tiles: TM fixed 256/512 by K (double-buffered VMEM budget ~16 MB/core),
 TN 1024; M may be ragged (row-independent math: garbage rows in the last

@@ -1,9 +1,14 @@
 """Dynamic W8A8 int8 quantization for the serving path.
 
-TPU v5e executes int8 matmuls at 2x the bf16 rate (394 TOPS vs 197
-TFLOP/s), and the flagship encoder's dense matmuls are ~97% of the
-pipeline's FLOPs — so quantizing just those layers is the single largest
-serving-throughput lever after bf16 (measured: tools/int8_microbench.py).
+The datasheet credits the v5e MXU with 2x int8 peak (394 TOPS vs 197
+bf16 TFLOP/s), but on this setup int8 dot_general measurably lowers at
+the SAME MXU rate as bf16 — the win is bandwidth, not FLOPs: halved
+weight-stream bytes, and (in the Pallas kernel) an int32 accumulator
+that never round-trips HBM. The flagship encoder's dense matmuls are
+~97% of the pipeline's FLOPs and its big layers are weight-bandwidth-
+heavy at serving batch sizes, so quantizing just those layers is still
+the largest serving lever after bf16 (~8% e2e measured;
+tools/int8_microbench.py).
 
 Scheme (standard dynamic post-training quant, no calibration pass):
 - weights: symmetric per-output-channel int8 (scale = col amax / 127);
@@ -15,7 +20,7 @@ Scheme (standard dynamic post-training quant, no calibration pass):
 Weight quantization happens inside the jitted program; weights are
 serving-constant, so the cost is one extra streaming pass over the
 weights per program call (~1 ms for 421M params — measured small next to
-the ~2x matmul win). The param pytree is completely unchanged, so
+the bandwidth saved). The param pytree is completely unchanged, so
 checkpoints, training, and the non-quant path are untouched.
 
 The reference has no quantization support at all (its ONNX/TensorRT path

@@ -235,23 +235,32 @@ class ContinuousBatcher:
             samples = [item[0] for item in group]
             states = [item[1] for item in group]
             futures = [item[2] for item in group]
-            t0 = time.perf_counter()
+            # time INSIDE the executor callable, per attempt: the metric
+            # is device-dispatch latency, not single-dispatch-thread
+            # queueing or retry backoff (those would conflate under load)
+            dev_s = [0.0]
+
+            def call_greedy():
+                ta = time.perf_counter()
+                try:
+                    return self.pipeline.decode_samples_batch(samples,
+                                                              states)
+                finally:
+                    dev_s[0] = time.perf_counter() - ta
+
             try:
                 # transient device/runtime errors retry with backoff
                 # (ref: ErrorRecoveryManager, async_patterns.rs:152-192)
                 res, feat_lens, enc_lens, new_states = \
                     await self._retry.run(lambda: loop.run_in_executor(
-                        self.executor,
-                        self.pipeline.decode_samples_batch,
-                        samples, states))
+                        self.executor, call_greedy))
             except Exception as e:  # noqa: BLE001 — fan the error out
-                self._observe_device("greedy", time.perf_counter() - t0,
-                                     ok=False)
+                self._observe_device("greedy", dev_s[0], ok=False)
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self._observe_device("greedy", time.perf_counter() - t0, ok=True)
+            self._observe_device("greedy", dev_s[0], ok=True)
             self._record_dispatch(len(group))
             for i, fut in enumerate(futures):
                 if fut.done():
@@ -278,21 +287,26 @@ class ContinuousBatcher:
         for group in groups:
             samples = [item[0] for item in group]
             futures = [item[2] for item in group]
-            t0 = time.perf_counter()
+            dev_s = [0.0]  # per-attempt device timing (see greedy path)
+
+            def call_beam():
+                ta = time.perf_counter()
+                try:
+                    return self.pipeline.decode_beam_batch(
+                        samples, n_best=cfg.beam_n_best)
+                finally:
+                    dev_s[0] = time.perf_counter() - ta
+
             try:
                 res, feat_lens, enc_lens = await self._retry.run(
-                    lambda: loop.run_in_executor(
-                        self.executor,
-                        lambda: self.pipeline.decode_beam_batch(
-                            samples, n_best=cfg.beam_n_best)))
+                    lambda: loop.run_in_executor(self.executor, call_beam))
             except Exception as e:  # noqa: BLE001
-                self._observe_device("beam", time.perf_counter() - t0,
-                                     ok=False)
+                self._observe_device("beam", dev_s[0], ok=False)
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self._observe_device("beam", time.perf_counter() - t0, ok=True)
+            self._observe_device("beam", dev_s[0], ok=True)
             self._record_dispatch(len(group))
             vocab = self.pipeline.vocab
             for i, fut in enumerate(futures):

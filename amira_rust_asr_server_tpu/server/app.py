@@ -202,12 +202,19 @@ async def handle_stream(request: web.Request) -> web.StreamResponse:
         await ws.close(code=1013, message=b"too many concurrent streams")
         return ws
 
+    # construct BEFORE touching gauges: an exception here must not leave
+    # ws_active permanently incremented (every inc below is paired with
+    # the finally dec)
+    try:
+        processor = StreamProcessor(ws, state)
+    except BaseException:
+        state.stream_semaphore.release()
+        raise
+    stream_id = processor.stream_id
     state.metrics.increment_stream()
     if state.prometheus:
         state.prometheus.ws_connections.inc()
         state.prometheus.ws_active.inc()
-    processor = StreamProcessor(ws, state)
-    stream_id = processor.stream_id
     state.active_streams[stream_id] = processor
     log.info("stream %s started (model=%s)", stream_id,
              request.match_info.get("model"))

@@ -126,7 +126,9 @@ class PrometheusMetrics:
         # triton_* analogues: the in-process XLA device dispatch
         self.dispatch_duration = Histogram(
             "asr_device_dispatch_duration_seconds",
-            "XLA program execution latency (triton_inference analogue)",
+            "XLA program execution latency, timed around the pipeline "
+            "call per attempt — excludes executor queueing and retry "
+            "backoff (triton_inference analogue)",
             ["program"], registry=self.registry,
             buckets=(.005, .01, .025, .05, .1, .25, .5, 1, 2.5, 5))
         self.dispatches_total = Counter(

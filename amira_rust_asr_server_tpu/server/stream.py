@@ -194,6 +194,13 @@ class StreamProcessor:
                 break
             # text/ping/pong frames ignored (parity: stream.rs:169-171)
 
+        # END wire parity (opt-in): the reference routes END through its
+        # error path, surfacing an Error-status frame before the COMPLETE
+        # (stream.rs:236-244; exact message per error.rs:144,208)
+        if ended and cfg.end_error_frame_parity:
+            await self.send_error(
+                "Server error: Request validation error: End of stream")
+
         # final drain (ref: stream.rs:203-207)
         if self.pending or ended or self.last_transcription:
             try:
@@ -254,13 +261,12 @@ class StreamProcessor:
             else:
                 def work():
                     return self.incremental.process_chunk(chunk)
-            fut = loop.run_in_executor(self.state.session_executor, work)
             budget = (self.state.config.inference_timeout_secs
                       if self.state.pipeline.warmed_up
                       else self.state.config.cold_bucket_timeout_secs)
             try:
-                transcription = await self.state.breaker.call_async(
-                    asyncio.wait_for(fut, budget))
+                transcription = await self._decode_with_retry(
+                    loop, work, budget, is_final)
             except asyncio.TimeoutError:
                 raise ValueError("ASR processing timeout") from None
             except CapacityExceededError:
@@ -270,6 +276,9 @@ class StreamProcessor:
                 # re-decodes it — shed ONE partial, never the stream
                 # (batch POSTs retry a 503; a live stream cannot).
                 if is_final:
+                    # the final drain already retried once with backoff
+                    # (_decode_with_retry); the audio cannot be re-sent by
+                    # the client, so only a persistently full queue errors
                     raise
                 self.state.metrics.record_rejection()
                 log.info("stream %s: partial deferred (device busy)",
@@ -292,6 +301,28 @@ class StreamProcessor:
                 "processing_time_ms": round(
                     (time.perf_counter() - t0) * 1e3),
             }))
+
+    # ------------------------------------------------------------------
+    async def _decode_with_retry(self, loop, work, budget: float,
+                                 is_final: bool):
+        """Run the window decode; the FINAL drain retries once after a
+        short backoff on a capacity shed. A queue-full at exactly the
+        final chunk is the one case the client cannot recover from (the
+        audio was already streamed), so it gets one second chance before
+        the stream errors; interim partials shed immediately (the next
+        window re-decodes the same buffered audio anyway)."""
+        attempts = 2 if is_final else 1
+        for attempt in range(attempts):
+            fut = loop.run_in_executor(self.state.session_executor, work)
+            try:
+                return await self.state.breaker.call_async(
+                    asyncio.wait_for(fut, budget))
+            except CapacityExceededError:
+                if attempt + 1 >= attempts:
+                    raise
+                log.info("stream %s: final drain shed, retrying once",
+                         self.stream_id)
+                await asyncio.sleep(0.25)
 
     # ------------------------------------------------------------------
     async def send_response(self, response: AsrResponse) -> None:

@@ -157,26 +157,52 @@ def bench_batch(results: dict) -> None:
     log(f"init large model: {model.param_count(params)/1e6:.1f}M params "
         f"in {time.time()-t0:.1f}s")
 
-    # keep random-weight decode from babbling: bias joint toward blank so
-    # the decode loop mirrors realistic emission rates (calibrated: +3.0
-    # yields ~1-7 tokens/s across lanes at this seed)
-    params["joint"]["out"]["b"] = (
-        params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
-
     b = int(os.environ.get("ASR_BENCH_BATCH", "16"))
     secs = 30.0
     n = int(secs * 16000)
+    rng = np.random.default_rng(0)
+
+    # TRAINED weights when available (tools/train_synth.py): the headline
+    # then measures realistic emission rates on real synthetic speech.
+    # Fallback (fresh clone without the gitignored checkpoint tree):
+    # random weights + a calibrated blank bias so decode still mirrors
+    # speech-like emission (~1-7 tokens/s at this seed).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.environ.get("ASR_BENCH_CKPT",
+                          os.path.join(repo, "model-repo", "large-synth"))
+    if os.path.isdir(ckpt):
+        params = model.load_checkpoint(os.path.abspath(ckpt), like=params)
+        results["weights"] = "trained-synthspeech"
+        from amira_rust_asr_server_tpu.testing.synthspeech import (
+            random_token_ids, synth_token_ids)
+
+        def make_wave():
+            parts = []
+            total = 0
+            while total < n:
+                w = synth_token_ids(
+                    random_token_ids(rng, 4, 18), noise=0.01,
+                    rate=float(rng.uniform(0.85, 1.25)), rng=rng)
+                parts.append(w)
+                total += len(w)
+            return np.concatenate(parts)[:n].astype(np.float32)
+
+        waves = [make_wave() for _ in range(b)]
+        log(f"loaded trained checkpoint {ckpt}; synthspeech audio")
+    else:
+        params["joint"]["out"]["b"] = (
+            params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
+        results["weights"] = "random+blank-bias"
+        waves = [(rng.standard_normal(n) * 0.1).astype(np.float32)
+                 for _ in range(b)]
+        log("no trained checkpoint; random weights + blank bias")
+
     use_pallas = os.environ.get("ASR_BENCH_NO_PALLAS") != "1"
     pcfg = Config(audio_sec_buckets=[secs], batch_buckets=[b],
                   compute_dtype="bfloat16", use_pallas_mel=use_pallas)
     vocab = Vocabulary.load(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "model-repo", "vocab.txt"))
+        os.path.join(repo, "model-repo", "vocab.txt"))
     pipe = AsrPipeline(model, params, vocab, pcfg)
-
-    rng = np.random.default_rng(0)
-    waves = [(rng.standard_normal(n) * 0.1).astype(np.float32)
-             for _ in range(b)]
 
     t0 = time.time()
     res, *_ = pipe.decode_samples_batch(waves)
@@ -303,12 +329,17 @@ def bench_batch(results: dict) -> None:
     except (Exception, _SectionTimeout) as e:  # noqa: BLE001
         log(f"segment bench failed: {e!r}")
 
+    # context for the optional beam section (same model/weights/audio)
+    ctx = {"model": model, "params": params, "vocab": vocab,
+           "waves": waves, "secs": secs, "b": b}
+
     # -- int8 (W8A8 dynamic) serving config ----------------------------------
-    # Encoder dense matmuls ride the int8 MXU path (2x bf16 peak on v5e);
-    # golden-transcript tests (tests/test_quant.py) lock that served text
-    # survives quantization. Headline takes the faster of the two configs.
+    # Encoder dense matmuls ride the W8A8 path (bandwidth win — int8 lowers
+    # at the same MXU rate as bf16 here; ops/quant.py). Golden-transcript
+    # tests (tests/test_quant.py) lock that served text survives
+    # quantization. Headline takes the faster of the two configs.
     if os.environ.get("ASR_BENCH_NO_INT8") == "1":
-        return
+        return ctx
     try:
         with deadline(int(os.environ.get("ASR_BENCH_INT8_TIMEOUT", "1200")),
                       "int8 bench"):
@@ -347,6 +378,50 @@ def bench_batch(results: dict) -> None:
                 results["quantization"] = "none"
     except (Exception, _SectionTimeout) as e:  # noqa: BLE001
         log(f"int8 bench failed: {e!r}")
+    return ctx
+
+
+# ---------------------------------------------------------------------------
+def bench_beam(results: dict, ctx: dict) -> None:
+    """Beam search (width 10) on the flagship: the driver-captured beam
+    number (previously prose-only in PARITY.md). Same weights/audio as the
+    headline; unconstrained search rides the whole-scan Pallas kernel
+    (ops/pallas/beam_loop.py)."""
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+
+    model, params, vocab = ctx["model"], ctx["params"], ctx["vocab"]
+    b, secs, waves = ctx["b"], ctx["secs"], ctx["waves"]
+    width = int(os.environ.get("ASR_BENCH_BEAM_WIDTH", "10"))
+    bcfg = Config(audio_sec_buckets=[secs], batch_buckets=[b],
+                  compute_dtype="bfloat16", decoding_mode="beam",
+                  beam_width=width)
+    pipe_b = AsrPipeline(model, params, vocab, bcfg)
+
+    n = int(secs * 16000)
+    audio_dev = jax.device_put(jnp.asarray(np.stack(waves)))
+    lens_dev = jax.device_put(jnp.full((b,), n, jnp.int32))
+
+    from amira_rust_asr_server_tpu import constants as C
+
+    def run_beam():
+        trace, fl, el = pipe_b._beam_fwd(
+            pipe_b.params, audio_dev, lens_dev, None, None,
+            beam_width=width, max_expansions=C.BEAM_MAX_EXPANSIONS)
+        return trace.pool_scores
+
+    t0 = time.time()
+    jax.block_until_ready(run_beam())
+    log(f"beam compile+first: {time.time()-t0:.1f}s")
+    beam_s = timeit(run_beam)
+    audio_seconds = b * secs
+    rtfx_b = audio_seconds / beam_s
+    log(f"beam w={width}: {beam_s*1e3:.1f} ms per batch -> RTFx {rtfx_b:.0f}")
+    results.update({
+        "beam_ms": round(beam_s * 1e3, 2),
+        "beam_rtfx": round(rtfx_b, 1),
+        "beam_width": width,
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +494,15 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     results: dict = {}
-    bench_batch(results)
+    ctx = bench_batch(results)
+    if ctx is not None and os.environ.get("ASR_BENCH_NO_BEAM") != "1":
+        try:  # beam never blocks the headline artifact
+            with deadline(
+                    int(os.environ.get("ASR_BENCH_BEAM_TIMEOUT", "1800")),
+                    "beam bench"):
+                bench_beam(results, ctx)
+        except (Exception, _SectionTimeout) as e:  # noqa: BLE001
+            log(f"beam bench failed: {e!r}")
     if os.environ.get("ASR_BENCH_NO_STREAM") != "1":
         try:  # streaming never blocks the headline artifact
             with deadline(

@@ -168,7 +168,7 @@ def test_ws_stream_partials_and_complete():
         for i in range(0, len(pcm), 8000):
             await ws.send_bytes(pcm[i:i + 8000])
         # collect a partial
-        msg = await asyncio.wait_for(ws.receive_json(), timeout=90)
+        msg = await asyncio.wait_for(ws.receive_json(), timeout=180)
         assert msg["status"] in ("ACTIVE", "COMPLETE")
         assert "transcription" in msg
         assert "audio_length_seconds" in msg["metadata"]
@@ -176,7 +176,7 @@ def test_ws_stream_partials_and_complete():
         await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
         final = None
         while True:
-            raw = await asyncio.wait_for(ws.receive(), timeout=90)
+            raw = await asyncio.wait_for(ws.receive(), timeout=180)
             if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
                 break
             data = json.loads(raw.data)
@@ -186,6 +186,35 @@ def test_ws_stream_partials_and_complete():
         assert final is not None and final["status"] == "COMPLETE"
         await ws.close()
     run(with_client(make_state(), go))
+
+
+def test_ws_end_error_frame_parity():
+    """With end_error_frame_parity=True the END control byte produces the
+    reference's exact wire sequence: an ERROR-status frame ("Server error:
+    Request validation error: End of stream") FOLLOWED by the final
+    COMPLETE (ref: stream.rs:236-244 routes END through the error path;
+    message format per error.rs:144,208). Default (off) sends COMPLETE
+    only — asserted by test_ws_stream_partials_and_complete."""
+    async def go(client):
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(_pcm_list(n=8000))  # 0.5 s
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+        statuses = []
+        while True:
+            raw = await asyncio.wait_for(ws.receive(), timeout=180)
+            if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                break
+            data = json.loads(raw.data)
+            statuses.append(data["status"])
+            if data["status"] == "ERROR":
+                assert data["message"] == (
+                    "Server error: Request validation error: End of stream")
+            if data["status"] == "COMPLETE":
+                break
+        assert "ERROR" in statuses and statuses[-1] == "COMPLETE"
+        assert statuses.index("ERROR") < statuses.index("COMPLETE")
+        await ws.close()
+    run(with_client(make_state(end_error_frame_parity=True), go))
 
 
 def test_ws_stream_survives_transient_queue_full():
