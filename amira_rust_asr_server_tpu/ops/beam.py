@@ -375,7 +375,13 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
         jax.lax.scan(frame_step, init, (enc_tb, t_indices))
 
     if graph is not None:
-        pool_final = graph.is_final[g_f] | (lens_f == 0)
+        # strict FSA acceptance (k2 parity): the empty hypothesis is final
+        # only if the start state is — otherwise a confident model's
+        # all-blank path would outrank every real grammar completion.
+        # backtrace()'s uniform demotion still returns the least-bad
+        # incomplete path (e.g. empty on silence) when nothing accepts.
+        pool_final = graph.is_final[g_f] | (
+            (lens_f == 0) & graph.is_final[0])
         # k2 final-weight parity: a hypothesis ending at a final state
         # collects that state's final weight in its total score
         scores_f = scores_f + jnp.where(

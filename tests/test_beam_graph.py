@@ -285,9 +285,11 @@ def _oracle_best_weighted(table, t_frames, s_max, nxt, fin, aw, fw):
         nonlocal best
         if t == t_frames:
             total = score
+            # strict FSA acceptance: empty is final only if the start
+            # state is (matches beam_decode's pool_final)
             if seq and fin[g]:
                 total += fw[g]
-            elif seq:
+            elif not fin[g] or (not seq and not fin[0]):
                 total -= 1e12
             if total > best[0]:
                 best = (total, list(seq))
