@@ -166,16 +166,32 @@ class FeedForward(nn.Module):
 class ConformerBlock(nn.Module):
     config: ModelConfig
 
+    def _gain(self, name: str, d: int):
+        """LayerScale: learnable per-channel residual-branch gain
+        (config.layerscale as init; identity when disabled). Deep stacks
+        need it to escape the uniform-token saddle when training from
+        scratch (see presets.ModelConfig.layerscale)."""
+        ls = self.config.layerscale
+        if ls <= 0.0:
+            return None
+        return self.param(name, nn.initializers.constant(ls), (d,))
+
     @nn.compact
     def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
-        x = x + 0.5 * FeedForward(self.config, name="ff1")(
-            nn.LayerNorm(name="ln_ff1")(x))
-        x = x + MHSA(self.config, name="mhsa")(
-            nn.LayerNorm(name="ln_mhsa")(x), pad_mask)
-        x = x + ConvModule(self.config, name="conv")(
-            nn.LayerNorm(name="ln_conv")(x), pad_mask)
-        x = x + 0.5 * FeedForward(self.config, name="ff2")(
-            nn.LayerNorm(name="ln_ff2")(x))
+        d = x.shape[-1]
+
+        def add(x, branch, gname):
+            g = self._gain(gname, d)
+            return x + (branch if g is None else g * branch)
+
+        x = add(x, 0.5 * FeedForward(self.config, name="ff1")(
+            nn.LayerNorm(name="ln_ff1")(x)), "ls_ff1")
+        x = add(x, MHSA(self.config, name="mhsa")(
+            nn.LayerNorm(name="ln_mhsa")(x), pad_mask), "ls_mhsa")
+        x = add(x, ConvModule(self.config, name="conv")(
+            nn.LayerNorm(name="ln_conv")(x), pad_mask), "ls_conv")
+        x = add(x, 0.5 * FeedForward(self.config, name="ff2")(
+            nn.LayerNorm(name="ln_ff2")(x)), "ls_ff2")
         return nn.LayerNorm(name="ln_out")(x)
 
 

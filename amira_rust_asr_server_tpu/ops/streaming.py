@@ -178,16 +178,24 @@ def encode_chunk(enc_params: Dict, cfg: ModelConfig, feats: jax.Array,
     new_tail: List[jax.Array] = []
     for i in range(cfg.n_layers):
         p = enc_params[f"block{i}"]
-        x = x + 0.5 * _ff(p["ff1"], _layernorm(p["ln_ff1"], x))
+
+        def gained(branch, gname, p=p):
+            # LayerScale parity with ConformerBlock._gain (identity when
+            # the checkpoint has no gains)
+            return p[gname] * branch if gname in p else branch
+
+        x = x + gained(0.5 * _ff(p["ff1"], _layernorm(p["ln_ff1"], x)),
+                       "ls_ff1")
         attn_out, k2, v2 = _mhsa_stream(
             p["mhsa"], cfg, _layernorm(p["ln_mhsa"], x),
             cache.attn_k[i], cache.attn_v[i], cache.pos)
-        x = x + attn_out
+        x = x + gained(attn_out, "ls_mhsa")
         conv_out, tail2 = _conv_stream(
             p["conv"], cfg, _layernorm(p["ln_conv"], x),
             cache.conv_tail[i])
-        x = x + conv_out
-        x = x + 0.5 * _ff(p["ff2"], _layernorm(p["ln_ff2"], x))
+        x = x + gained(conv_out, "ls_conv")
+        x = x + gained(0.5 * _ff(p["ff2"], _layernorm(p["ln_ff2"], x)),
+                       "ls_ff2")
         x = _layernorm(p["ln_out"], x)
         new_k.append(k2)
         new_v.append(v2)

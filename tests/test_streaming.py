@@ -127,3 +127,32 @@ def test_jit_compatible(causal_tiny):
     enc2, _ = step_fn(params["encoder"], _feats(rng, 16, cfg.n_mels),
                       cache2)
     assert enc2.shape == (1, 4, cfg.d_enc)
+
+
+def test_layerscale_chunked_equals_full():
+    """LayerScale gains (deep-stack trainability, presets.ModelConfig.
+    layerscale) must stream exactly like they batch; ls=0 keeps the
+    parameter tree unchanged (checkpoint compatibility)."""
+    cfg = dataclasses.replace(TINY, causal=True, att_context=(8, 0),
+                              layerscale=0.1)
+    model = Transducer(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    assert "ls_ff1" in params["encoder"]["block0"]
+
+    rng = np.random.default_rng(3)
+    t = 48
+    feats = _feats(rng, t, cfg.n_mels)
+    full, _ = model.encode(params, feats, jnp.array([t]))
+
+    cache = init_encoder_cache(cfg, batch=1)
+    chunks = []
+    for i in range(0, t, 16):
+        enc, cache = encode_chunk(params["encoder"], cfg,
+                                  feats[:, :, i:i + 16], cache)
+        chunks.append(np.asarray(enc))
+    np.testing.assert_allclose(np.concatenate(chunks, axis=1),
+                               np.asarray(full), atol=2e-4, rtol=1e-3)
+
+    cfg0 = dataclasses.replace(cfg, layerscale=0.0)
+    p0 = Transducer(cfg0).init(jax.random.PRNGKey(1))
+    assert "ls_ff1" not in p0["encoder"]["block0"]
