@@ -10,15 +10,19 @@ floor. Same cure as the greedy loop (decode_loop.py): run the entire scan
 inside one kernel with every decode-path weight and the precomputed
 encoder projection VMEM-resident.
 
-Semantics are exactly ops/beam.beam_decode's for the unconstrained case
-(graph=None): TSD with per-frame expansion cap, pool merge with
-first-index tie-breaking, inactive-lane passthrough at s=0, additive
-shallow-fusion bias that never touches blank, compact backtrace arrays
-(ref behavior being beaten: the k2 lattice decoder,
+Semantics are exactly ops/beam.beam_decode's: TSD with per-frame
+expansion cap, pool merge with first-index tie-breaking, inactive-lane
+passthrough at s=0, additive shallow-fusion bias that never touches
+blank, compact backtrace arrays, and (graph given) weighted decoding-
+graph constraint — legality masks + arc weights from two VMEM-resident
+[Np, Vp] trie tables, per-hypothesis graph state advanced by one-hot
+matmul gathers; finality/final-weights are applied by the caller from
+the returned g_f (ref behavior being beaten: the k2 lattice decoder,
 src/triton_backends/k2_decoder/k2_decoder_backend.cc:63-253).
 Equivalence is locked by tests/test_pallas_beam_loop.py (interpret mode,
-f32, bit-exact vs the XLA scan) and exercised on hardware by bench/
-selfcheck A/Bs. Decoding-graph-constrained search stays on the XLA path.
+f32, bit-exact vs the XLA scan, constrained + unconstrained) and
+exercised on hardware by bench/selfcheck A/Bs. FSAs past
+~1k states route to the XLA gather path (pipeline.PALLAS_GRAPH_MAX_STATES).
 
 Mosaic techniques (all probed on hardware before this was written):
   - bookkeeping lives as [B, K] tiles, lane-major state as [B*K, X];
@@ -57,13 +61,23 @@ def _dot(a, b):
 
 
 def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
-                 blank_id: int):
+                 blank_id: int, n_states: int = 0):
+    """n_states > 0 compiles the decoding-graph-constrained variant:
+    two extra VMEM-resident [Np, VP] tables (next-state ids as f32, arc
+    weights) and a per-hypothesis graph state; all graph lookups are
+    one-hot matmuls (k2 decoding-graph parity at kernel speed)."""
     bk = b * k
 
     def kernel(enc_ref, enc_lens_ref, h0_ref, c0_ref, bias_ref,
                embed_ref, wl0_ref, bl0_ref, wl1_ref, bl1_ref,
-               wp_ref, bp_ref, wo_ref, bo_ref,
-               scores_ref, lens_ref, expp_ref, expt_ref, pps_ref, ppk_ref):
+               wp_ref, bp_ref, wo_ref, bo_ref, *rest):
+        if n_states:
+            nxt_ref, aw_ref = rest[0], rest[1]
+            (scores_ref, lens_ref, expp_ref, expt_ref, pps_ref, ppk_ref,
+             gf_ref) = rest[2:]
+        else:
+            (scores_ref, lens_ref, expp_ref, expt_ref, pps_ref,
+             ppk_ref) = rest
         enc_lens = enc_lens_ref[:, 0]                     # [B] i32
         dt = embed_ref.dtype
 
@@ -163,7 +177,7 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
         trow = jax.lax.broadcasted_iota(jnp.int32, (t_max, bk), 0)
 
         def frame(t, carry):
-            (scores, lens, pred_out, h0, h1, c0, c1,
+            (scores, lens, pred_out, h0, h1, c0, c1, g_in,
              expp, expt, pps, ppk) = carry
             active = t < enc_lens                          # [B]
             active_bk = bcast_b(active.astype(jnp.float32)) > 0.5
@@ -187,6 +201,8 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
             c_scores, c_lens = scores, lens
             c_pred, c_h0, c_h1, c_c0, c_c1 = (
                 pred_out, h0, h1, c0, c1)
+            p_g = g_in                                     # [BK, 1] f32
+            c_g = g_in
             step_parents = []
             step_tokens = []
 
@@ -245,13 +261,26 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
                 new_p_h1 = sel(p_h1, c_h1)
                 new_p_c0 = sel(p_c0, c_c0)
                 new_p_c1 = sel(p_c1, c_c1)
+                new_p_g = sel(p_g, c_g)
                 (p_scores, p_lens, p_ps, p_pk, p_pred, p_h0, p_h1,
-                 p_c0, p_c1) = (
+                 p_c0, p_c1, p_g) = (
                     top_scores, new_p_lens, new_p_ps, new_p_pk, new_p_pred,
-                    new_p_h0, new_p_h1, new_p_c0, new_p_c1)
+                    new_p_h0, new_p_h1, new_p_c0, new_p_c1, new_p_g)
 
                 # -- label expansions -> next micro-step C ---------------
                 lab = jnp.where(blank_col, NEG_INF, lp)
+                if n_states:
+                    # graph legality + arc weights: gather each hyp's trie
+                    # row with a one-hot matmul (k2 intersection: acoustic
+                    # + graph arc scores shape the pruning)
+                    oh_g = (jax.lax.broadcasted_iota(
+                        jnp.int32, (bk, n_states), 1)
+                        == c_g[:, 0].astype(jnp.int32)[:, None]
+                        ).astype(jnp.float32)
+                    nxt_rows = _dot(oh_g, nxt_ref[:])      # [BK, VP] f32
+                    aw_rows = _dot(oh_g, aw_ref[:])        # [BK, VP] f32
+                    lab = jnp.where(nxt_rows >= 0.0, lab + aw_rows,
+                                    NEG_INF)
                 cand = jnp.where(active_bk[:, None],
                                  scores_bk[:, None] + lab, NEG_INF)
                 e_s, e_par, e_tok = [], [], []
@@ -285,6 +314,14 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
                 new_pred, nh0, nh1, nc0, nc1 = pred_lstm(
                     tok_bk, par_h0, par_h1, par_c0, par_c1)
                 new_lens = gather_bk(c_lens, parent) + 1
+                if n_states:
+                    # advance graph state: parent's trie row, column
+                    # `token` (one-hot column select); illegal winners
+                    # never happen (NEG_INF), clamp keeps gathers in range
+                    rows_par = lane_gather(g_par, nxt_rows)  # [BK, VP]
+                    newg = jnp.sum(jnp.where(
+                        colv == tok_bk[:, None], rows_par, 0.0), axis=-1)
+                    c_g = jnp.maximum(newg, 0.0)[:, None]    # [BK, 1]
                 (c_scores, c_lens, c_pred, c_h0, c_h1, c_c0,
                  c_c1) = (e_scores, new_lens, new_pred, nh0, nh1, nc0, nc1)
                 step_parents.append(flatten_bk_i(parent))
@@ -301,11 +338,12 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
             ppk = jnp.where(t_hit, flatten_bk_i(p_pk)[None, :], ppk)
 
             return (p_scores, p_lens, p_pred, p_h0, p_h1, p_c0, p_c1,
-                    expp, expt, pps, ppk)
+                    p_g, expp, expt, pps, ppk)
 
         init = (scores0, lens0, pred0, h0i, h1i, c0i, c1i,
+                jnp.zeros((bk, 1), jnp.float32),
                 [zero_tbk] * s_max, [zero_tbk] * s_max, zero_tbk, zero_tbk)
-        (scores_f, lens_f, *_rest, expp, expt, pps, ppk) = \
+        (scores_f, lens_f, *_rest, g_f, expp, expt, pps, ppk) = \
             jax.lax.fori_loop(0, t_max, frame, init)
 
         scores_ref[:] = scores_f
@@ -315,6 +353,8 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
             expt_ref[s] = expt[s]
         pps_ref[:] = pps
         ppk_ref[:] = ppk
+        if n_states:
+            gf_ref[:] = unflatten_bk(g_f[:, 0]).astype(jnp.int32)
 
     return kernel
 
@@ -327,14 +367,20 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
                      init_h: jax.Array, init_c: jax.Array,
                      bias: jax.Array, pred_params, joint_params, *,
                      beam_width: int, max_expansions: int, blank_id: int,
-                     interpret: bool = False):
-    """Whole-beam-scan kernel. Unconstrained search only (graph=None).
+                     graph=None, interpret: bool = False):
+    """Whole-beam-scan kernel.
 
     enc_pre [B, T', d_joint] (joint_precompute_enc output),
     init_h/init_c [L, B, P] (broadcast to lanes internally),
     bias [V] f32 additive log-space vocabulary bias.
+    graph: optional ops.beam.TokenTrie — compiles the decoding-graph-
+    constrained variant: two VMEM-resident [Np, VP] tables and a
+    per-hypothesis graph state; expansions are masked to trie-legal
+    continuations with arc weights added (k2 parity; finality and final
+    weights are applied by the caller from the returned g_f).
     Returns the BeamTrace fields: (pool_scores [B,K], pool_lens [B,K],
-    exp_parent [T,S,B,K], exp_token, pool_ps [T,B,K], pool_pk [T,B,K]).
+    exp_parent [T,S,B,K], exp_token, pool_ps [T,B,K], pool_pk [T,B,K])
+    plus g_f [B,K] when graph is given.
     """
     b, t_max, d_joint = enc_pre.shape
     k = beam_width
@@ -357,7 +403,22 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     h_bk = jnp.repeat(init_h, k, axis=1).astype(dt)       # [L, BK, P]
     c_bk = jnp.repeat(init_c, k, axis=1).astype(dt)
 
-    kernel = _make_kernel(b, k, t_max, s_max, VOCAB_PAD, blank_id)
+    graph_in = []
+    n_states = 0
+    if graph is not None:
+        n_raw = graph.next_state.shape[0]
+        n_states = -(-n_raw // 8) * 8   # sublane-aligned state count
+        # V axis -> VOCAB_PAD with -1 (illegal); extra state rows illegal
+        nxt = jnp.full((n_states, VOCAB_PAD), -1.0, jnp.float32)
+        nxt = nxt.at[:n_raw, :vocab].set(
+            graph.next_state.astype(jnp.float32))
+        aw = jnp.zeros((n_states, VOCAB_PAD), jnp.float32)
+        aw = aw.at[:n_raw, :vocab].set(
+            graph.arc_weight.astype(jnp.float32))
+        graph_in = [nxt, aw]
+
+    kernel = _make_kernel(b, k, t_max, s_max, VOCAB_PAD, blank_id,
+                          n_states=n_states)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((b, k), jnp.float32),         # pool scores
@@ -367,10 +428,13 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
         jax.ShapeDtypeStruct((t_max, bk), jnp.int32),      # pool ps
         jax.ShapeDtypeStruct((t_max, bk), jnp.int32),      # pool pk
     )
+    if n_states:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((b, k), jnp.int32),)      # g_f
     outs = pl.pallas_call(
         kernel,
-        in_specs=[whole] * 14,
-        out_specs=tuple([whole] * 6),
+        in_specs=[whole] * (14 + len(graph_in)),
+        out_specs=tuple([whole] * len(out_shape)),
         out_shape=out_shape,
         # the unrolled micro-steps keep several [BK, Vp] temporaries live;
         # the default 16 MB scoped-vmem stack is too small at flagship
@@ -387,12 +451,13 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
       pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :],
       joint_params["pred_proj"]["w"].astype(dt),
       joint_params["pred_proj"]["b"].astype(jnp.float32)[None, :],
-      wo_pad.astype(dt), bo_pad[None, :])
-    scores, lens, expp, expt, pps, ppk = outs
+      wo_pad.astype(dt), bo_pad[None, :], *graph_in)
+    scores, lens, expp, expt, pps, ppk = outs[:6]
     # [S, T, BK] -> [T, S, B, K]; [T, BK] -> [T, B, K]
     exp_parent = jnp.transpose(expp, (1, 0, 2)).reshape(
         t_max, s_max, b, k)
     exp_token = jnp.transpose(expt, (1, 0, 2)).reshape(t_max, s_max, b, k)
     pool_ps = pps.reshape(t_max, b, k)
     pool_pk = ppk.reshape(t_max, b, k)
-    return scores, lens, exp_parent, exp_token, pool_ps, pool_pk
+    base = (scores, lens, exp_parent, exp_token, pool_ps, pool_pk)
+    return base + (outs[6],) if n_states else base

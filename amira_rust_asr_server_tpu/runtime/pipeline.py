@@ -358,30 +358,47 @@ class AsrPipeline:
                                                graph=graph, n_best=n_best)
         return res, fls[0], els[0]
 
+    # beyond this many graph states the kernel's one-hot table gathers
+    # ([B*K, Np] x [Np, Vp] matmuls per micro-step) and the [Np, Vp] VMEM
+    # residency outgrow the XLA gather path — route big FSAs there
+    PALLAS_GRAPH_MAX_STATES = 1024
+
     def _beam_trace_via_kernel(self, params, enc_pre, enc_lens, bias, *,
-                               beam_width, max_expansions,
+                               beam_width, max_expansions, graph=None,
                                interpret=False):
         """Assemble a BeamTrace from the whole-scan Pallas kernel.
 
         Split out of _beam_forward so the wiring (arg order, bias-None
-        default, trace-field assembly) is testable on CPU in interpret
-        mode (tests/test_pallas_beam_loop.py) — the backend gate keeps
-        the branch itself un-exercised under pytest."""
+        default, trace-field assembly, graph finality) is testable on CPU
+        in interpret mode (tests/test_pallas_beam_loop.py) — the backend
+        gate keeps the branch itself un-exercised under pytest."""
         from ..ops.beam import BeamTrace
         from ..ops.pallas.beam_loop import beam_loop_pallas
         mcfg = self.model.config
         h, c = self.model.init_state(enc_pre.shape[0], dtype=enc_pre.dtype)
         bias_vec = (jnp.zeros((mcfg.vocab_size,), jnp.float32)
                     if bias is None else bias)
-        scores, lens_, expp, expt, pps, ppk = beam_loop_pallas(
+        outs = beam_loop_pallas(
             enc_pre, enc_lens, h, c, bias_vec,
             params["predictor"], params["joint"],
             beam_width=beam_width, max_expansions=max_expansions,
-            blank_id=mcfg.blank_id, interpret=interpret)
+            blank_id=mcfg.blank_id, graph=graph, interpret=interpret)
+        scores, lens_, expp, expt, pps, ppk = outs[:6]
+        if graph is not None:
+            # finality + final weights outside the kernel, identical to
+            # ops.beam.beam_decode's tail (strict FSA acceptance)
+            g_f = outs[6]
+            pool_final = graph.is_final[g_f] | (
+                (lens_ == 0) & graph.is_final[0])
+            scores = scores + jnp.where(
+                graph.is_final[g_f] & (lens_ > 0),
+                graph.final_weight[g_f], 0.0)
+        else:
+            pool_final = jnp.ones(scores.shape, bool)
         return BeamTrace(
             pool_scores=scores, pool_lens=lens_, exp_parent=expp,
             exp_token=expt, pool_parent_s=pps, pool_parent_k=ppk,
-            pool_final=jnp.ones(scores.shape, bool))
+            pool_final=pool_final)
 
     def _beam_forward(self, params, audio, audio_lens, bias, graph, *,
                       beam_width, max_expansions):
@@ -395,15 +412,17 @@ class AsrPipeline:
         enc, enc_lens = self.model.encode(
             params, feats.astype(self.compute_dtype), feat_lens)
         enc_pre = self.model.joint_precompute_enc(params, enc)
-        if (graph is None and self.config.use_pallas_beam_loop
+        if (self.config.use_pallas_beam_loop
                 and mcfg.pred_layers == 2
+                and (graph is None or
+                     graph.n_states <= self.PALLAS_GRAPH_MAX_STATES)
                 and jax.default_backend() == "tpu"):
-            # whole beam scan as one persistent kernel (weights
-            # VMEM-resident; see ops/pallas/beam_loop.py); the
-            # graph-constrained search — and any non-2-layer prediction
-            # net, which the kernel hardcodes — keeps the XLA scan below
+            # whole beam scan as one persistent kernel (weights — and for
+            # constrained search the trie tables — VMEM-resident; see
+            # ops/pallas/beam_loop.py); very large FSAs and non-2-layer
+            # prediction nets keep the XLA scan below
             return (self._beam_trace_via_kernel(
-                params, enc_pre, enc_lens, bias,
+                params, enc_pre, enc_lens, bias, graph=graph,
                 beam_width=beam_width, max_expansions=max_expansions),
                 feat_lens, enc_lens)
         trace = beam_decode(

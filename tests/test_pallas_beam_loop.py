@@ -125,3 +125,53 @@ def test_pipeline_kernel_wiring_matches_xla():
     assert np.array_equal(g.tokens, w.tokens)
     assert np.array_equal(g.counts, w.counts)
     assert bool(np.all(np.asarray(got.pool_final)))
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_kernel_graph_constraint_matches_xla(weighted):
+    """Decoding-graph-constrained kernel == XLA beam: legality masking,
+    arc weights during pruning, graph-state advance, strict finality +
+    final weights (applied via the pipeline tail)."""
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.ops.beam import TokenTrie
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+    model, cfg, params, enc_pre, enc_lens = _setup(seed=11, b=2, t=7)
+    rng = np.random.default_rng(4)
+    seqs = [[0, 1], [2], [3, 4, 5], [1, 2]]
+    graph = TokenTrie.from_token_seqs(
+        seqs, vocab_size=cfg.vocab_size, loop=True,
+        weights=(list(rng.standard_normal(4)) if weighted else None),
+        final_weights=(list(rng.standard_normal(4)) if weighted else None))
+
+    want = beam_decode(
+        partial(model.predict_step, params),
+        partial(model.joint_step_pre, params),
+        enc_pre, enc_lens, model.init_state(enc_pre.shape[0]),
+        cfg.blank_id, beam_width=3, max_expansions=2,
+        bias=None, vocab_size=cfg.vocab_size, graph=graph)
+
+    pipe = AsrPipeline(model, params,
+                       Vocabulary.from_map({i: f"w{i}" for i in range(9)}),
+                       Config(audio_sec_buckets=[0.5], batch_buckets=[2],
+                              decoding_mode="beam", beam_width=3,
+                              compute_dtype="float32"))
+    got = pipe._beam_trace_via_kernel(
+        pipe.params, enc_pre, enc_lens, None, graph=graph,
+        beam_width=3, max_expansions=2, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.pool_scores),
+                               np.asarray(want.pool_scores),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(got.pool_lens),
+                          np.asarray(want.pool_lens))
+    assert np.array_equal(np.asarray(got.pool_final),
+                          np.asarray(want.pool_final))
+    assert np.array_equal(np.asarray(got.exp_token),
+                          np.asarray(want.exp_token))
+    w = backtrace(want, np.asarray(enc_lens), n_best=2)
+    g = backtrace(got, np.asarray(enc_lens), n_best=2)
+    assert np.array_equal(g.tokens, w.tokens)
+    assert np.array_equal(g.counts, w.counts)
+    np.testing.assert_allclose(g.scores, w.scores, rtol=1e-5, atol=1e-5)

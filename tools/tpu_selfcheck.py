@@ -237,6 +237,53 @@ def main() -> None:
 
     ok &= check("pallas beam loop == xla beam", beam_loop_check)
 
+    def beam_graph_check():
+        from functools import partial
+
+        from amira_rust_asr_server_tpu.ops.beam import (backtrace,
+                                                        beam_decode,
+                                                        TokenTrie)
+        cfg = model.config
+        brng = np.random.default_rng(13)
+        b, t, beam, s_max = 2, 10, 3, 2
+        enc = jnp.asarray(
+            brng.standard_normal((b, t, cfg.d_enc)).astype(np.float32))
+        enc_lens = jnp.asarray([t, t - 3], jnp.int32)
+        enc_pre = model.joint_precompute_enc(params, enc)
+        graph = TokenTrie.from_token_seqs(
+            [[0, 1], [2], [3, 4, 5], [1, 2]], vocab_size=cfg.vocab_size,
+            loop=True, weights=list(brng.standard_normal(4)),
+            final_weights=list(brng.standard_normal(4)))
+        want = beam_decode(
+            partial(model.predict_step, params),
+            partial(model.joint_step_pre, params),
+            enc_pre, enc_lens, model.init_state(b), cfg.blank_id,
+            beam_width=beam, max_expansions=s_max,
+            vocab_size=cfg.vocab_size, graph=graph)
+        vocab = Vocabulary.from_map(
+            {i: f"w{i}" for i in range(model.config.blank_id)})
+        pipe = AsrPipeline(model, params, vocab,
+                           Config(audio_sec_buckets=[1.0],
+                                  batch_buckets=[b], decoding_mode="beam",
+                                  beam_width=beam,
+                                  compute_dtype="float32",
+                                  warmup_on_start=False))
+        got = pipe._beam_trace_via_kernel(
+            pipe.params, enc_pre, enc_lens, None, graph=graph,
+            beam_width=beam, max_expansions=s_max,
+            interpret=dev.platform == "cpu")
+        np.testing.assert_allclose(np.asarray(got.pool_scores),
+                                   np.asarray(want.pool_scores),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(got.pool_final),
+                                      np.asarray(want.pool_final))
+        w = backtrace(want, np.asarray(enc_lens), n_best=2)
+        g = backtrace(got, np.asarray(enc_lens), n_best=2)
+        np.testing.assert_array_equal(g.tokens, w.tokens)
+        np.testing.assert_array_equal(g.counts, w.counts)
+
+    ok &= check("pallas beam graph == xla graph beam", beam_graph_check)
+
     # 4. pipeline smoke + determinism -------------------------------------
     def pipeline_check():
         vocab = Vocabulary.from_map(
