@@ -107,21 +107,48 @@ def random_token_ids(rng: np.random.Generator, min_len: int = 4,
 def synthspeech_batches(batch_size: int, *, audio_bucket: int = 96000,
                         label_bucket: int = 24, seed: int = 0,
                         noise: float = 0.02, min_len: int = 4,
-                        max_len: int = 18) -> Iterator:
+                        max_len: int = 18,
+                        long_form: bool = False) -> Iterator:
     """Endless TrainBatch stream of random token sentences with varied
-    speaking rate (0.8..1.3x) — feed to parallel.make_train_step."""
+    speaking rate (0.8..1.3x) — feed to parallel.make_train_step.
+
+    ``long_form=True`` concatenates sentences (with per-sentence rate/
+    amplitude) until the audio bucket is full — the serving distribution
+    for 30 s batch clips. Training only on short single sentences caps
+    emission at the trained horizon (~max_len tokens) on long audio;
+    long-form fine-tuning restores realistic emission rates at 30 s."""
     from ..parallel.data import pad_batch
 
     rng = np.random.default_rng(seed)
     while True:
         waves, labels = [], []
         for _ in range(batch_size):
-            ids = random_token_ids(rng, min_len, max_len)
-            rate = float(rng.uniform(0.8, 1.3))
-            amp = float(rng.uniform(0.15, 0.45))
-            waves.append(synth_token_ids(ids, noise=noise, amplitude=amp,
-                                         rate=rate, rng=rng))
-            labels.append(ids)
+            if long_form:
+                parts, ids = [], []
+                total = 0
+                while True:
+                    s_ids = random_token_ids(rng, min_len, max_len)
+                    rate = float(rng.uniform(0.8, 1.3))
+                    amp = float(rng.uniform(0.15, 0.45))
+                    w = synth_token_ids(s_ids, noise=noise, amplitude=amp,
+                                        rate=rate, rng=rng)
+                    if total + len(w) > audio_bucket or \
+                            len(ids) + len(s_ids) > label_bucket:
+                        break
+                    parts.append(w)
+                    ids.extend(s_ids)
+                    total += len(w)
+                waves.append(np.concatenate(parts) if parts
+                             else np.zeros(1600, np.float32))
+                labels.append(ids)
+            else:
+                ids = random_token_ids(rng, min_len, max_len)
+                rate = float(rng.uniform(0.8, 1.3))
+                amp = float(rng.uniform(0.15, 0.45))
+                waves.append(synth_token_ids(ids, noise=noise,
+                                             amplitude=amp, rate=rate,
+                                             rng=rng))
+                labels.append(ids)
         yield pad_batch(waves, labels, audio_bucket, label_bucket)
 
 

@@ -45,6 +45,14 @@ def main() -> None:
     parser.add_argument("--min-len", type=int, default=4)
     parser.add_argument("--max-len", type=int, default=18)
     parser.add_argument("--eval-utts", type=int, default=32)
+    parser.add_argument("--long-form", action="store_true",
+                        help="concatenate sentences to fill the audio "
+                             "bucket (serving distribution for 30 s "
+                             "clips); use with --audio-bucket 480000 "
+                             "--label-bucket 224")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize conformer blocks (needed for "
+                             "30 s training buckets on one chip)")
     parser.add_argument("--min-acc", type=float, default=0.0,
                         help="exit nonzero (and skip saving) below this "
                              "held-out exact-match accuracy")
@@ -79,6 +87,11 @@ def main() -> None:
     print(f"device: {dev} ({dev.platform})", flush=True)
 
     model = Transducer.from_preset(args.preset)
+    if args.remat:
+        import dataclasses
+
+        from amira_rust_asr_server_tpu.models import Transducer as _T
+        model = _T(dataclasses.replace(model.config, remat=True))
     cfg = model.config
     sched = optax.schedules.warmup_cosine_decay_schedule(
         0.0, args.lr, args.warmup, args.steps, end_value=args.lr * 0.1)
@@ -96,7 +109,8 @@ def main() -> None:
     batches = synthspeech_batches(
         args.batch, audio_bucket=args.audio_bucket,
         label_bucket=args.label_bucket, seed=args.seed, noise=args.noise,
-        min_len=args.min_len, max_len=args.max_len)
+        min_len=args.min_len, max_len=args.max_len,
+        long_form=args.long_form)
 
     ckpt = os.path.abspath(args.ckpt_out)
     t0 = time.time()
