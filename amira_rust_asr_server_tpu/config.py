@@ -97,6 +97,11 @@ class Config:
     # VMEM-resident prediction-net/joint weights (TPU only; supersedes
     # use_pallas_decode_step when on). See ops/pallas/decode_loop.py.
     use_pallas_decode_loop: bool = True
+    # hold the decode-loop/beam kernels' LSTM weights int8 in VMEM (W8A8
+    # in-kernel with per-output-channel scales): halves the resident
+    # weight footprint (~13 -> ~6.6 MB on the flagship). Requires a
+    # Pallas loop kernel flag above; no effect off-TPU.
+    int8_decode_weights: bool = False
     # the WHOLE beam scan as one persistent Pallas kernel (TPU only;
     # unconstrained search — decoding-graph requests stay on the XLA
     # path). See ops/pallas/beam_loop.py.

@@ -60,17 +60,35 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
+def _qdot(x32, wq_ref, ws_ref):
+    """W8A8 matmul for the int8-resident quant path (same scheme as
+    decode_loop._qdot): per-row activation quant -> int8 MXU dot ->
+    fused per-output-channel dequant."""
+    s = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0 + 1e-12
+    xq = jnp.round(x32 / s).astype(jnp.int8)
+    acc = jnp.dot(xq, wq_ref[:], preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s * ws_ref[0, :][None, :])
+
+
 def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
-                 blank_id: int, n_states: int = 0):
+                 blank_id: int, n_states: int = 0, quant: bool = False):
     """n_states > 0 compiles the decoding-graph-constrained variant:
     two extra VMEM-resident [Np, VP] tables (next-state ids as f32, arc
     weights) and a per-hypothesis graph state; all graph lookups are
-    one-hot matmuls (k2 decoding-graph parity at kernel speed)."""
+    one-hot matmuls (k2 decoding-graph parity at kernel speed).
+    ``quant``: LSTM weights arrive int8, split at the x/h boundary
+    (see decode_loop._make_kernel)."""
     bk = b * k
 
     def kernel(enc_ref, enc_lens_ref, h0_ref, c0_ref, bias_ref,
-               embed_ref, wl0_ref, bl0_ref, wl1_ref, bl1_ref,
-               wp_ref, bp_ref, wo_ref, bo_ref, *rest):
+               embed_ref, *weights_and_rest):
+        if quant:
+            (wx0_ref, sx0_ref, wh0_ref, sh0_ref, bl0_ref,
+             wx1_ref, sx1_ref, wh1_ref, sh1_ref, bl1_ref,
+             wp_ref, bp_ref, wo_ref, bo_ref, *rest) = weights_and_rest
+        else:
+            (wl0_ref, bl0_ref, wl1_ref, bl1_ref,
+             wp_ref, bp_ref, wo_ref, bo_ref, *rest) = weights_and_rest
         if n_states:
             nxt_ref, aw_ref = rest[0], rest[1]
             (scores_ref, lens_ref, expp_ref, expt_ref, pps_ref, ppk_ref,
@@ -151,14 +169,24 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
             """fed [BK] i32 -> (pred_out [BK,P] dt, h0',h1',c0',c1')."""
             oh = (colv == fed[:, None]) & (fed != blank_id)[:, None]
             x = _dot(oh.astype(dt), embed_ref[:]).astype(dt)    # [BK, E]
-            xh = jnp.concatenate([x, h0], axis=-1)
-            g = _dot(xh, wl0_ref[:]) + bl0_ref[0, :]
+            if quant:
+                g = (_qdot(x.astype(jnp.float32), wx0_ref, sx0_ref)
+                     + _qdot(h0.astype(jnp.float32), wh0_ref, sh0_ref)
+                     + bl0_ref[0, :])
+            else:
+                xh = jnp.concatenate([x, h0], axis=-1)
+                g = _dot(xh, wl0_ref[:]) + bl0_ref[0, :]
             i0, f0, g0, o0 = jnp.split(g, 4, axis=-1)
             c0n = (jax.nn.sigmoid(f0 + 1.0) * c0.astype(jnp.float32)
                    + jax.nn.sigmoid(i0) * jnp.tanh(g0))
             h0n = jax.nn.sigmoid(o0) * jnp.tanh(c0n)
-            xh1 = jnp.concatenate([h0n.astype(dt), h1], axis=-1)
-            g1 = _dot(xh1, wl1_ref[:]) + bl1_ref[0, :]
+            if quant:
+                g1 = (_qdot(h0n, wx1_ref, sx1_ref)
+                      + _qdot(h1.astype(jnp.float32), wh1_ref, sh1_ref)
+                      + bl1_ref[0, :])
+            else:
+                xh1 = jnp.concatenate([h0n.astype(dt), h1], axis=-1)
+                g1 = _dot(xh1, wl1_ref[:]) + bl1_ref[0, :]
             i1, f1, g1g, o1 = jnp.split(g1, 4, axis=-1)
             c1n = (jax.nn.sigmoid(f1 + 1.0) * c1.astype(jnp.float32)
                    + jax.nn.sigmoid(i1) * jnp.tanh(g1g))
@@ -365,7 +393,8 @@ def _make_kernel(b: int, k: int, t_max: int, s_max: int, vp: int,
                      "interpret"))
 def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
                      init_h: jax.Array, init_c: jax.Array,
-                     bias: jax.Array, pred_params, joint_params, *,
+                     bias: jax.Array, pred_params, joint_params,
+                     pred_quant=None, *,
                      beam_width: int, max_expansions: int, blank_id: int,
                      graph=None, interpret: bool = False):
     """Whole-beam-scan kernel.
@@ -417,8 +446,9 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
             graph.arc_weight.astype(jnp.float32))
         graph_in = [nxt, aw]
 
+    quant = pred_quant is not None
     kernel = _make_kernel(b, k, t_max, s_max, VOCAB_PAD, blank_id,
-                          n_states=n_states)
+                          n_states=n_states, quant=quant)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((b, k), jnp.float32),         # pool scores
@@ -431,9 +461,22 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     if n_states:
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((b, k), jnp.int32),)      # g_f
+    if quant:
+        pq = pred_quant
+        lstm_args = (
+            pq["wx0_q"], pq["sx0"][None, :], pq["wh0_q"], pq["sh0"][None, :],
+            pred_params["lstm"][0]["b"].astype(jnp.float32)[None, :],
+            pq["wx1_q"], pq["sx1"][None, :], pq["wh1_q"], pq["sh1"][None, :],
+            pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :])
+    else:
+        lstm_args = (
+            pred_params["lstm"][0]["w"].astype(dt),
+            pred_params["lstm"][0]["b"].astype(jnp.float32)[None, :],
+            pred_params["lstm"][1]["w"].astype(dt),
+            pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :])
     outs = pl.pallas_call(
         kernel,
-        in_specs=[whole] * (14 + len(graph_in)),
+        in_specs=[whole] * (10 + len(lstm_args) + len(graph_in)),
         out_specs=tuple([whole] * len(out_shape)),
         out_shape=out_shape,
         # the unrolled micro-steps keep several [BK, Vp] temporaries live;
@@ -445,10 +488,7 @@ def beam_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     )(enc_pre.reshape(b * t_max, d_joint),
       enc_lens.astype(jnp.int32)[:, None], h_bk, c_bk,
       bias_pad[None, :], embed_pad.astype(dt),
-      pred_params["lstm"][0]["w"].astype(dt),
-      pred_params["lstm"][0]["b"].astype(jnp.float32)[None, :],
-      pred_params["lstm"][1]["w"].astype(dt),
-      pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :],
+      *lstm_args,
       joint_params["pred_proj"]["w"].astype(dt),
       joint_params["pred_proj"]["b"].astype(jnp.float32)[None, :],
       wo_pad.astype(dt), bo_pad[None, :], *graph_in)

@@ -59,16 +59,42 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
+def _qdot(x32, wq_ref, ws_ref):
+    """W8A8 matmul for the VMEM-resident quant path: dynamic per-row
+    activation quant -> int8 MXU dot (int32 accumulate, never leaves
+    VMEM) -> fused dequant. x32 [B, K] f32, wq [K, N] int8 (pre-quantized
+    per-output-channel), ws [1, N] f32 -> [B, N] f32."""
+    s = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0 + 1e-12
+    xq = jnp.round(x32 / s).astype(jnp.int8)
+    acc = jnp.dot(xq, wq_ref[:], preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s * ws_ref[0, :][None, :])
+
+
 def _make_kernel(b: int, t_max: int, f: int, vocab: int, blank_id: int,
                  max_symbols: int, max_total: int, d_pred: int,
-                 d_joint: int):
-    """Build the kernel body for static shapes."""
+                 d_joint: int, quant: bool = False):
+    """Build the kernel body for static shapes.
 
-    def kernel(enc_ref, enc_lens_ref, h0_ref, c0_ref, pred0_ref, last0_ref,
-               off_ref, embed_ref, wl0_ref, bl0_ref, wl1_ref, bl1_ref,
-               wp_ref, bp_ref, wo_ref, bo_ref,
-               tokens_ref, counts_ref, frames_ref, confs_ref,
-               h_out_ref, c_out_ref, pred_out_ref, last_out_ref):
+    ``quant``: the two LSTM weight matrices (the bulk of the resident
+    footprint, ~13 MB bf16 on the flagship) arrive int8 with per-output-
+    channel scales, SPLIT at the x/h concat boundary so each half gets
+    its own per-row activation scale (x and h ranges differ; one shared
+    row scale over the concat costs accuracy in the recurrence)."""
+
+    def kernel(*refs):
+        if quant:
+            (enc_ref, enc_lens_ref, h0_ref, c0_ref, pred0_ref, last0_ref,
+             off_ref, embed_ref, wx0_ref, sx0_ref, wh0_ref, sh0_ref,
+             bl0_ref, wx1_ref, sx1_ref, wh1_ref, sh1_ref, bl1_ref,
+             wp_ref, bp_ref, wo_ref, bo_ref,
+             tokens_ref, counts_ref, frames_ref, confs_ref,
+             h_out_ref, c_out_ref, pred_out_ref, last_out_ref) = refs
+        else:
+            (enc_ref, enc_lens_ref, h0_ref, c0_ref, pred0_ref, last0_ref,
+             off_ref, embed_ref, wl0_ref, bl0_ref, wl1_ref, bl1_ref,
+             wp_ref, bp_ref, wo_ref, bo_ref,
+             tokens_ref, counts_ref, frames_ref, confs_ref,
+             h_out_ref, c_out_ref, pred_out_ref, last_out_ref) = refs
         enc_lens = enc_lens_ref[:, 0]                       # [B] i32
         off = off_ref[:, 0]                                 # [B] i32
 
@@ -87,16 +113,26 @@ def _make_kernel(b: int, t_max: int, f: int, vocab: int, blank_id: int,
             x = _dot(oh.astype(embed_ref.dtype), embed_ref[:])  # [B, E]
             x = x.astype(embed_ref.dtype)
             # layer 0
-            xh = jnp.concatenate([x, h[0]], axis=-1)
-            g = _dot(xh, wl0_ref[:]) + bl0_ref[0, :]
+            if quant:
+                g = (_qdot(x.astype(jnp.float32), wx0_ref, sx0_ref)
+                     + _qdot(h[0].astype(jnp.float32), wh0_ref, sh0_ref)
+                     + bl0_ref[0, :])
+            else:
+                xh = jnp.concatenate([x, h[0]], axis=-1)
+                g = _dot(xh, wl0_ref[:]) + bl0_ref[0, :]
             i0, f0, g0, o0 = jnp.split(g, 4, axis=-1)
             c0n = (jax.nn.sigmoid(f0 + 1.0) * c[0].astype(jnp.float32)
                    + jax.nn.sigmoid(i0) * jnp.tanh(g0))
             h0n = jax.nn.sigmoid(o0) * jnp.tanh(c0n)
             # layer 1
-            xh1 = jnp.concatenate(
-                [h0n.astype(embed_ref.dtype), h[1]], axis=-1)
-            g1 = _dot(xh1, wl1_ref[:]) + bl1_ref[0, :]
+            if quant:
+                g1 = (_qdot(h0n, wx1_ref, sx1_ref)
+                      + _qdot(h[1].astype(jnp.float32), wh1_ref, sh1_ref)
+                      + bl1_ref[0, :])
+            else:
+                xh1 = jnp.concatenate(
+                    [h0n.astype(embed_ref.dtype), h[1]], axis=-1)
+                g1 = _dot(xh1, wl1_ref[:]) + bl1_ref[0, :]
             i1, f1, g1g, o1 = jnp.split(g1, 4, axis=-1)
             c1n = (jax.nn.sigmoid(f1 + 1.0) * c[1].astype(jnp.float32)
                    + jax.nn.sigmoid(i1) * jnp.tanh(g1g))
@@ -218,6 +254,29 @@ def _make_kernel(b: int, t_max: int, f: int, vocab: int, blank_id: int,
     return kernel
 
 
+def quantize_pred_lstm(pred_params):
+    """Pre-quantize the prediction-net LSTM weights for the int8-resident
+    kernel path: per-output-channel symmetric int8, split at the x/h
+    concat boundary (each half quantized and scaled independently).
+
+    Returns a flat dict of device arrays meant to be computed ONCE at
+    pipeline build (from the f32/bf16 params) and passed as jit arguments
+    thereafter. Halves the decode kernel's VMEM weight residency
+    (~13 MB -> ~6.6 MB bf16-equivalent on the flagship)."""
+    out = {}
+    for li, layer in enumerate(pred_params["lstm"]):
+        w = layer["w"].astype(jnp.float32)          # [K, 4P]
+        d_p = w.shape[1] // 4
+        d_x = w.shape[0] - d_p                      # E (layer 0) or P
+        for tag, part in (("x", w[:d_x]), ("h", w[d_x:])):
+            s = jnp.max(jnp.abs(part), axis=0) / 127.0 + 1e-12  # [4P]
+            q = jnp.clip(jnp.round(part / s[None, :]),
+                         -127, 127).astype(jnp.int8)
+            out[f"w{tag}{li}_q"] = q
+            out[f"s{tag}{li}"] = s.astype(jnp.float32)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("blank_id", "max_symbols", "max_total", "lookahead",
@@ -225,12 +284,14 @@ def _make_kernel(b: int, t_max: int, f: int, vocab: int, blank_id: int,
 def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
                        h0: jax.Array, c0: jax.Array, pred0: jax.Array,
                        last0: jax.Array, token_offset: jax.Array,
-                       pred_params, joint_params, *, blank_id: int,
-                       max_symbols: int, max_total: int, lookahead: int = 8,
-                       interpret: bool = False):
+                       pred_params, joint_params, pred_quant=None, *,
+                       blank_id: int, max_symbols: int, max_total: int,
+                       lookahead: int = 8, interpret: bool = False):
     """Run the whole greedy decode on device in one kernel call.
 
     enc_pre: [B, T', d_joint] joint_precompute_enc output.
+    pred_quant: optional quantize_pred_lstm output — holds the LSTM
+    weights int8 in VMEM (W8A8 in-kernel) instead of bf16.
     Returns the same tuple greedy_decode packs into GreedyResult:
     (tokens, counts, frame_idx, confidence, (h, c), pred_out, last_token).
     """
@@ -250,12 +311,15 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     # lane blocks (weights stay resident across grid steps; batch buckets
     # are powers of two so LB always divides b)
     lb = 16 if b % 16 == 0 else b
+    quant = pred_quant is not None
     kernel = _make_kernel(lb, t_max, lookahead, VOCAB_PAD, blank_id,
-                          max_symbols, max_total, d_pred, d_joint)
+                          max_symbols, max_total, d_pred, d_joint,
+                          quant=quant)
 
     lane2 = lambda shape: pl.BlockSpec(  # noqa: E731 — [B, X] lane-blocked
         (lb, shape), lambda i: (i, 0), memory_space=pltpu.VMEM)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_weights = 15 if quant else 9
     in_specs = [
         pl.BlockSpec((lb, t_max, d_joint), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),          # enc_pre
@@ -267,7 +331,7 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
         lane2(d_pred),                                  # pred0
         lane2(1),                                       # last0
         lane2(1),                                       # off
-    ] + [whole] * 9                                     # weights resident
+    ] + [whole] * n_weights                             # weights resident
     out_shape = (
         jax.ShapeDtypeStruct((b, max_total), jnp.int32),   # tokens
         jax.ShapeDtypeStruct((b, 1), jnp.int32),           # counts
@@ -286,6 +350,19 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
                      memory_space=pltpu.VMEM),
         lane2(d_pred), lane2(1),
     )
+    if quant:
+        pq = pred_quant
+        lstm_args = (
+            pq["wx0_q"], pq["sx0"][None, :], pq["wh0_q"], pq["sh0"][None, :],
+            pred_params["lstm"][0]["b"].astype(jnp.float32)[None, :],
+            pq["wx1_q"], pq["sx1"][None, :], pq["wh1_q"], pq["sh1"][None, :],
+            pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :])
+    else:
+        lstm_args = (
+            pred_params["lstm"][0]["w"].astype(dt),
+            pred_params["lstm"][0]["b"].astype(jnp.float32)[None, :],
+            pred_params["lstm"][1]["w"].astype(dt),
+            pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :])
     outs = pl.pallas_call(
         kernel,
         grid=(b // lb,),
@@ -298,10 +375,7 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
       last0.astype(jnp.int32)[:, None],
       token_offset.astype(jnp.int32)[:, None],
       embed_pad.astype(dt),
-      pred_params["lstm"][0]["w"].astype(dt),
-      pred_params["lstm"][0]["b"].astype(jnp.float32)[None, :],
-      pred_params["lstm"][1]["w"].astype(dt),
-      pred_params["lstm"][1]["b"].astype(jnp.float32)[None, :],
+      *lstm_args,
       joint_params["pred_proj"]["w"].astype(dt),
       joint_params["pred_proj"]["b"].astype(jnp.float32)[None, :],
       wo_pad.astype(dt), bo_pad[None, :])

@@ -89,6 +89,18 @@ class AsrPipeline:
                 if x.dtype == jnp.float32 else x, p))
             params = cast(params)
         self.params = params
+        # int8-resident decode kernel: LSTM weights pre-quantized ONCE
+        # here (per-output-channel symmetric) and passed as jit arguments
+        # ever after — never recomputed per dispatch, never baked into
+        # the program (CLAUDE.md: closure params blow up the compile
+        # payload)
+        self._pred_quant = None
+        if (cfg.int8_decode_weights
+                and (cfg.use_pallas_decode_loop or cfg.use_pallas_beam_loop)
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas.decode_loop import quantize_pred_lstm
+            self._pred_quant = jax.jit(quantize_pred_lstm)(
+                params["predictor"])
         self._sec_buckets = sorted(cfg.audio_sec_buckets)
         self._batch_buckets = sorted(cfg.batch_buckets)
         # guards _compiled/_staging/_fresh_cache: the dispatch thread and
@@ -144,8 +156,9 @@ class AsrPipeline:
     # ------------------------------------------------------------------
     # jitted core
     # ------------------------------------------------------------------
-    def _forward(self, params, audio, audio_lens, state, pred_out,
-                 last_token, token_offset, *, max_symbols, max_total):
+    def _forward(self, params, pred_quant, audio, audio_lens, state,
+                 pred_out, last_token, token_offset, *, max_symbols,
+                 max_total):
         mcfg = self.model.config
         dt = self.compute_dtype
         if self.config.use_pallas_mel and jax.default_backend() == "tpu":
@@ -171,7 +184,7 @@ class AsrPipeline:
                 greedy_loop_pallas(
                     enc_pre, enc_lens, state[0], state[1],
                     pred_out.astype(dt), last_token, token_offset,
-                    params["predictor"], params["joint"],
+                    params["predictor"], params["joint"], pred_quant,
                     blank_id=mcfg.blank_id, max_symbols=max_symbols,
                     max_total=max_total,
                     lookahead=self.config.greedy_lookahead)
@@ -330,7 +343,8 @@ class AsrPipeline:
         pred_out = jnp.asarray(pred0)
 
         res, feat_lens, enc_lens = self._fwd(
-            self.params, jnp.asarray(audio), jnp.asarray(lens),
+            self.params, self._pred_quant, jnp.asarray(audio),
+            jnp.asarray(lens),
             (jnp.asarray(h0), jnp.asarray(c0)), pred_out,
             jnp.asarray(last_token), jnp.asarray(token_offset),
             max_symbols=cfg.max_symbols_per_step,
@@ -365,7 +379,7 @@ class AsrPipeline:
 
     def _beam_trace_via_kernel(self, params, enc_pre, enc_lens, bias, *,
                                beam_width, max_expansions, graph=None,
-                               interpret=False):
+                               pred_quant=None, interpret=False):
         """Assemble a BeamTrace from the whole-scan Pallas kernel.
 
         Split out of _beam_forward so the wiring (arg order, bias-None
@@ -380,7 +394,7 @@ class AsrPipeline:
                     if bias is None else bias)
         outs = beam_loop_pallas(
             enc_pre, enc_lens, h, c, bias_vec,
-            params["predictor"], params["joint"],
+            params["predictor"], params["joint"], pred_quant,
             beam_width=beam_width, max_expansions=max_expansions,
             blank_id=mcfg.blank_id, graph=graph, interpret=interpret)
         scores, lens_, expp, expt, pps, ppk = outs[:6]
@@ -400,8 +414,8 @@ class AsrPipeline:
             exp_token=expt, pool_parent_s=pps, pool_parent_k=ppk,
             pool_final=pool_final)
 
-    def _beam_forward(self, params, audio, audio_lens, bias, graph, *,
-                      beam_width, max_expansions):
+    def _beam_forward(self, params, pred_quant, audio, audio_lens, bias,
+                      graph, *, beam_width, max_expansions):
         """One jitted program: mel -> encode -> beam scan (device trace).
         ``bias``/``graph`` ride as pytree args so swapping a grammar or
         bias vector reuses the compiled program (no recompile)."""
@@ -423,6 +437,7 @@ class AsrPipeline:
             # prediction nets keep the XLA scan below
             return (self._beam_trace_via_kernel(
                 params, enc_pre, enc_lens, bias, graph=graph,
+                pred_quant=pred_quant,
                 beam_width=beam_width, max_expansions=max_expansions),
                 feat_lens, enc_lens)
         trace = beam_decode(
@@ -454,7 +469,8 @@ class AsrPipeline:
             audio[i, :m] = s[:m]
             lens[i] = m
         trace, feat_lens, enc_lens = self._beam_fwd(
-            self.params, jnp.asarray(audio), jnp.asarray(lens),
+            self.params, self._pred_quant, jnp.asarray(audio),
+            jnp.asarray(lens),
             bias, graph if graph is not None else self.beam_graph,
             beam_width=cfg.beam_width, max_expansions=C.BEAM_MAX_EXPANSIONS)
         res = backtrace(trace, np.asarray(enc_lens),
@@ -543,7 +559,8 @@ class AsrPipeline:
             audio = np.zeros((bb, nb), np.float32)
             lens = np.full((bb,), min(n_samples, nb), np.int32)
             self._beam_fwd(
-                self.params, jnp.asarray(audio), jnp.asarray(lens),
+                self.params, self._pred_quant, jnp.asarray(audio),
+                jnp.asarray(lens),
                 None, self.beam_graph,
                 beam_width=cfg.beam_width, max_expansions=C.BEAM_MAX_EXPANSIONS)
             self._mark_compiled("beam", bb, nb)
@@ -556,7 +573,8 @@ class AsrPipeline:
             lens = np.full((bb,), min(n_samples, nb), np.int32)
             fresh_out, fresh_state = self._fresh_pred()
             self._fwd(
-                self.params, jnp.asarray(audio), jnp.asarray(lens),
+                self.params, self._pred_quant, jnp.asarray(audio),
+                jnp.asarray(lens),
                 (jnp.asarray(np.tile(fresh_state[0], (1, bb, 1))),
                  jnp.asarray(np.tile(fresh_state[1], (1, bb, 1)))),
                 jnp.asarray(np.tile(fresh_out, (bb, 1))),

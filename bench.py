@@ -226,7 +226,8 @@ def bench_batch(results: dict) -> None:
 
     def run_full():
         r, fl, el = pipe._fwd(
-            pipe.params, audio_dev, lens_dev, (h0, c0), pred0, last, off,
+            pipe.params, pipe._pred_quant, audio_dev, lens_dev, (h0, c0),
+            pred0, last, off,
             max_symbols=pcfg.max_symbols_per_step,
             max_total=pcfg.max_total_tokens)
         return r.counts
@@ -348,7 +349,8 @@ def bench_batch(results: dict) -> None:
 
             def run_q():
                 r, fl, el = pipe_q._fwd(
-                    pipe_q.params, audio_dev, lens_dev, (h0, c0), pred0,
+                    pipe_q.params, pipe_q._pred_quant, audio_dev, lens_dev,
+                    (h0, c0), pred0,
                     last, off, max_symbols=qcfg.max_symbols_per_step,
                     max_total=qcfg.max_total_tokens)
                 return r.counts
@@ -406,7 +408,8 @@ def bench_beam(results: dict, ctx: dict) -> None:
 
     def run_beam():
         trace, fl, el = pipe_b._beam_fwd(
-            pipe_b.params, audio_dev, lens_dev, None, None,
+            pipe_b.params, pipe_b._pred_quant, audio_dev, lens_dev,
+            None, None,
             beam_width=width, max_expansions=C.BEAM_MAX_EXPANSIONS)
         return trace.pool_scores
 

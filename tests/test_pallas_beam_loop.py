@@ -175,3 +175,64 @@ def test_kernel_graph_constraint_matches_xla(weighted):
     assert np.array_equal(g.tokens, w.tokens)
     assert np.array_equal(g.counts, w.counts)
     np.testing.assert_allclose(g.scores, w.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_resident_beam_tokens_match_on_trained_checkpoint():
+    """int8-resident LSTM weights (config.int8_decode_weights) in the beam
+    kernel: on a TRAINED checkpoint the top-1 transcript must match the
+    f32 XLA beam token-for-token (bit-exact scores are not expected —
+    the W8A8 LSTM perturbs hypothesis scores at the 1e-3 level, well
+    inside trained-margin separations but outside float equality)."""
+    import pathlib
+
+    from amira_rust_asr_server_tpu.models import Transducer
+    from amira_rust_asr_server_tpu.ops import log_mel_features
+    from amira_rust_asr_server_tpu.ops.pallas.decode_loop import \
+        quantize_pred_lstm
+    from amira_rust_asr_server_tpu.testing import synth_digits
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    ckpt = repo / "model-repo" / "tiny-digits"
+    if not ckpt.exists():
+        pytest.skip("tiny-digits checkpoint not present")
+    model = Transducer.from_preset("tiny")
+    params = model.load_checkpoint(str(ckpt))
+    cfg = model.config
+
+    rng = np.random.default_rng(3)
+    utts = [["four", "zero"], ["six", "one", "eight"]]
+    b, n = len(utts), 24000
+    audio = np.zeros((b, n), np.float32)
+    lens = np.zeros((b,), np.int32)
+    for i, words in enumerate(utts):
+        w = synth_digits(words, noise=0.004, rng=rng)
+        audio[i, :len(w)] = w[:n]
+        lens[i] = min(len(w), n)
+    feats, fl = log_mel_features(jnp.asarray(audio), jnp.asarray(lens),
+                                 n_mels=cfg.n_mels)
+    enc, el = model.encode(params, feats, fl)
+    enc_pre = model.joint_precompute_enc(params, enc)
+
+    want = beam_decode(
+        partial(model.predict_step, params),
+        partial(model.joint_step_pre, params),
+        enc_pre, el, model.init_state(b), cfg.blank_id,
+        beam_width=4, max_expansions=3, bias=None,
+        vocab_size=cfg.vocab_size)
+
+    h, c = model.init_state(b)
+    pq = quantize_pred_lstm(params["predictor"])
+    outs = beam_loop_pallas(
+        enc_pre, el, h, c, jnp.zeros((cfg.vocab_size,), jnp.float32),
+        params["predictor"], params["joint"], pq,
+        beam_width=4, max_expansions=3, blank_id=cfg.blank_id,
+        interpret=True)
+    got = BeamTrace(pool_scores=outs[0], pool_lens=outs[1],
+                    exp_parent=outs[2], exp_token=outs[3],
+                    pool_parent_s=outs[4], pool_parent_k=outs[5],
+                    pool_final=jnp.ones(outs[0].shape, bool))
+    w = backtrace(want, np.asarray(el), n_best=1)
+    g = backtrace(got, np.asarray(el), n_best=1)
+    assert np.array_equal(g.tokens, w.tokens)
+    assert np.array_equal(g.counts, w.counts)
+    assert int(np.asarray(w.counts)[0]) >= 2  # really decoded speech

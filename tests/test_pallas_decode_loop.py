@@ -144,3 +144,86 @@ def test_single_lane_and_short_sequence(tiny):
     ref = greedy_decode_transducer(model, params, enc, lens, lookahead=8)
     pall = run_pallas(model, params, enc, lens, lookahead=8)
     assert_matches(pall, ref)
+
+
+# ---------------------------------------------------------------------------
+# int8-resident LSTM weights (W8A8 in-kernel; config.int8_decode_weights)
+# ---------------------------------------------------------------------------
+
+def test_quantize_pred_lstm_roundtrip(tiny):
+    """Per-output-channel symmetric quant: dequant error <= scale/2."""
+    from amira_rust_asr_server_tpu.ops.pallas.decode_loop import \
+        quantize_pred_lstm
+    model, params = tiny
+    pq = quantize_pred_lstm(params["predictor"])
+    for li, layer in enumerate(params["predictor"]["lstm"]):
+        w = np.asarray(layer["w"], np.float32)
+        d_p = w.shape[1] // 4
+        d_x = w.shape[0] - d_p
+        for tag, part in (("x", w[:d_x]), ("h", w[d_x:])):
+            q = np.asarray(pq[f"w{tag}{li}_q"], np.int32)
+            s = np.asarray(pq[f"s{tag}{li}"], np.float32)
+            assert q.min() >= -127 and q.max() <= 127
+            err = np.abs(part - q * s[None, :])
+            assert np.all(err <= s[None, :] * 0.5 + 1e-9)
+
+
+def test_quant_kernel_tokens_match_f32_on_trained_checkpoint():
+    """On a TRAINED checkpoint (realistic logit margins) the int8-resident
+    kernel must produce token-identical transcripts to the f32 XLA loop.
+
+    Random-weight logit margins are razor-thin, so token equality is only
+    a meaningful contract on trained weights — the same reasoning as the
+    golden e2e tests (tests/test_golden_e2e.py)."""
+    import pathlib
+
+    from amira_rust_asr_server_tpu.ops import log_mel_features
+    from amira_rust_asr_server_tpu.ops.pallas.decode_loop import \
+        quantize_pred_lstm
+    from amira_rust_asr_server_tpu.testing import synth_digits
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    ckpt = repo / "model-repo" / "tiny-digits"
+    if not ckpt.exists():
+        pytest.skip("tiny-digits checkpoint not present")
+    model = Transducer.from_preset("tiny")
+    params = model.load_checkpoint(str(ckpt))
+    cfg = model.config
+
+    rng = np.random.default_rng(11)
+    utts = [["three", "five", "zero"], ["eight"],
+            ["one", "two", "nine", "four"], ["seven", "six"]]
+    b, n = len(utts), 32000
+    audio = np.zeros((b, n), np.float32)
+    lens = np.zeros((b,), np.int32)
+    for i, words in enumerate(utts):
+        w = synth_digits(words, noise=0.004, rng=rng)
+        audio[i, :len(w)] = w[:n]
+        lens[i] = min(len(w), n)
+    feats, fl = log_mel_features(jnp.asarray(audio), jnp.asarray(lens),
+                                 n_mels=cfg.n_mels)
+    enc, el = model.encode(params, feats, fl)
+
+    ref = greedy_decode_transducer(model, params, enc, el)
+
+    enc_pre = model.joint_precompute_enc(params, enc)
+    h0, c0 = model.init_state(b, enc.dtype)
+    pred0, (h0, c0) = model.predict_step(
+        params, jnp.full((b,), cfg.blank_id, jnp.int32), (h0, c0))
+    pq = quantize_pred_lstm(params["predictor"])
+    tokens, counts, frames, confs, _, _, _ = greedy_loop_pallas(
+        enc_pre, el, h0, c0, pred0,
+        jnp.full((b,), cfg.blank_id, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        params["predictor"], params["joint"], pq,
+        blank_id=cfg.blank_id, max_symbols=30, max_total=200,
+        lookahead=8, interpret=True)
+
+    counts = np.asarray(counts)
+    np.testing.assert_array_equal(counts, np.asarray(ref.counts))
+    for i in range(b):
+        k = int(counts[i])
+        np.testing.assert_array_equal(
+            np.asarray(tokens)[i, :k], np.asarray(ref.tokens)[i, :k])
+        np.testing.assert_array_equal(
+            np.asarray(frames)[i, :k], np.asarray(ref.frame_idx)[i, :k])

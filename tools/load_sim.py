@@ -38,17 +38,39 @@ async def batch_client(session, url, stats, stop, seconds=2.0):
                                    resp.status))
 
 
-async def stream_client(session, url, stats, stop):
+def _synth_stream_pcm(seed: int, seconds: float = 12.0) -> bytes:
+    """Deterministic synthspeech audio (the trained checkpoints' grammar)
+    so native-mode partials carry real text, not noise-blanks."""
+    from amira_rust_asr_server_tpu.testing.synthspeech import (
+        random_token_ids, synth_token_ids)
+    rng = np.random.default_rng(seed)
+    parts, total = [], 0
+    n = int(seconds * 16000)
+    while total < n:
+        w = synth_token_ids(random_token_ids(rng, 4, 18), noise=0.01,
+                            rate=float(rng.uniform(0.85, 1.25)), rng=rng)
+        parts.append(w)
+        total += len(w)
+    wave = np.concatenate(parts)[:n]
+    return (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+async def stream_client(session, url, stats, stop, synth_seed=None):
     import aiohttp
     rng = np.random.default_rng()
+    pcm = _synth_stream_pcm(synth_seed) if synth_seed is not None else None
     while not stop.is_set():
         try:
             async with session.ws_connect(url) as ws:
-                for _ in range(20):  # 2 s of audio in 100 ms chunks
+                n_chunks = (len(pcm) // 3200) if pcm is not None else 20
+                for ci in range(n_chunks):  # 100 ms chunks
                     if stop.is_set():
                         break
-                    chunk = (rng.standard_normal(1600) * 3000) \
-                        .astype("<i2").tobytes()
+                    if pcm is not None:
+                        chunk = pcm[ci * 3200:(ci + 1) * 3200]
+                    else:
+                        chunk = (rng.standard_normal(1600) * 3000) \
+                            .astype("<i2").tobytes()
                     t0 = time.perf_counter()
                     await ws.send_bytes(chunk)
                     try:
@@ -79,6 +101,12 @@ async def main() -> None:
     parser.add_argument("--batch-clients", type=int, default=8)
     parser.add_argument("--stream-clients", type=int, default=4)
     parser.add_argument("--duration", type=float, default=30.0)
+    parser.add_argument("--synth", action="store_true",
+                        help="stream deterministic synthspeech audio "
+                             "instead of noise (real partial text on "
+                             "trained checkpoints)")
+    parser.add_argument("--json-out", default=None,
+                        help="also write the result JSON to this path")
     args = parser.parse_args()
 
     base = f"http://{args.host}:{args.port}"
@@ -91,8 +119,9 @@ async def main() -> None:
             for _ in range(args.batch_clients)
         ] + [
             asyncio.create_task(stream_client(
-                session, f"{base}/v2/decode/stream/default", stats, stop))
-            for _ in range(args.stream_clients)
+                session, f"{base}/v2/decode/stream/default", stats, stop,
+                synth_seed=(100 + i) if args.synth else None))
+            for i in range(args.stream_clients)
         ]
         await asyncio.sleep(args.duration)
         stop.set()
@@ -103,7 +132,7 @@ async def main() -> None:
 
     lat_b = [x[0] for x in stats["batch"] if x[1] == 200]
     lat_p = [x[0] for x in stats["partial"]]
-    print(json.dumps({
+    out = {
         "batch_requests": len(stats["batch"]),
         "batch_ok": len(lat_b),
         "batch_rejected": sum(1 for x in stats["batch"]
@@ -114,7 +143,15 @@ async def main() -> None:
         "partial_p50_ms": round(pct(lat_p, 50) * 1e3, 1),
         "partial_p95_ms": round(pct(lat_p, 95) * 1e3, 1),
         "batcher": metrics.get("batcher"),
-    }, indent=2))
+        "stream_clients": args.stream_clients,
+        "batch_clients": args.batch_clients,
+        "duration_s": args.duration,
+        "synth_audio": bool(args.synth),
+    }
+    print(json.dumps(out, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -147,10 +147,10 @@ def main() -> None:
     # logit margins make token-level equality robust to the (documented)
     # MXU-precision differences between the HIGHEST-precision kernel and
     # the default-precision XLA reference; random near-tie logits are not.
-    def decode_loop_check():
+    def decode_loop_check(quant=False):
         from amira_rust_asr_server_tpu.ops import log_mel_features
         from amira_rust_asr_server_tpu.ops.pallas.decode_loop import (
-            greedy_loop_pallas)
+            greedy_loop_pallas, quantize_pred_lstm)
         from amira_rust_asr_server_tpu.testing import synth_digits
         repo = pathlib.Path(__file__).resolve().parents[1]
         ckpt = repo / "model-repo" / "tiny-digits"
@@ -177,11 +177,12 @@ def main() -> None:
         h0, c0 = dmodel.init_state(b)
         pred0, (h0, c0) = dmodel.predict_step(
             dparams, jnp.full((b,), cfg.blank_id, jnp.int32), (h0, c0))
+        pq = quantize_pred_lstm(dparams["predictor"]) if quant else None
         tokens, counts, frames, _, _, _, _ = greedy_loop_pallas(
             enc_pre, el, h0, c0, pred0,
             jnp.full((b,), cfg.blank_id, jnp.int32),
             jnp.zeros((b,), jnp.int32), dparams["predictor"],
-            dparams["joint"], blank_id=cfg.blank_id, max_symbols=30,
+            dparams["joint"], pq, blank_id=cfg.blank_id, max_symbols=30,
             max_total=200, interpret=dev.platform == "cpu")
         np.testing.assert_array_equal(np.asarray(counts),
                                       np.asarray(ref.counts))
@@ -196,6 +197,10 @@ def main() -> None:
                 np.asarray(ref.frame_idx)[i, :n_tok])
 
     ok &= check("pallas decode loop == xla loop", decode_loop_check)
+    # int8-resident LSTM weights (config.int8_decode_weights): token
+    # equality on the trained checkpoint is the quality contract
+    ok &= check("int8-resident decode loop == xla loop",
+                lambda: decode_loop_check(quant=True))
 
     def beam_loop_check():
         from functools import partial
