@@ -439,8 +439,18 @@ def bench_streaming(results: dict) -> None:
     model = Transducer.from_preset("large-streaming")
     cfg = model.config
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
-    params["joint"]["out"]["b"] = (
-        params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    stream_ckpt = os.path.join(repo, "model-repo", "large-synth-stream")
+    if os.path.isdir(stream_ckpt):
+        # trained causal checkpoint: realistic emission rates in the
+        # chunk step (tools/train_synth.py --preset large-streaming)
+        params = model.load_checkpoint(stream_ckpt, like=params)
+        results["stream_weights"] = "trained-synthspeech"
+        log(f"streaming: loaded trained causal checkpoint {stream_ckpt}")
+    else:
+        params["joint"]["out"]["b"] = (
+            params["joint"]["out"]["b"].at[cfg.blank_id].add(3.0))
+        results["stream_weights"] = "random+blank-bias"
     cast = jax.jit(lambda p: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, p))
@@ -452,9 +462,30 @@ def bench_streaming(results: dict) -> None:
                                  n_lanes=lanes, chunk_frames=chunk_frames)
 
     rng = np.random.default_rng(1)
-    feats = jnp.asarray(
-        rng.standard_normal((lanes, cfg.n_mels, chunk_frames)) * 0.3,
-        jnp.bfloat16)
+    if os.path.isdir(stream_ckpt):
+        # real synthspeech mel chunks: the carried decode state sees
+        # speech-like emission rates instead of noise->blank
+        from amira_rust_asr_server_tpu.ops import log_mel_features
+        from amira_rust_asr_server_tpu.testing.synthspeech import (
+            random_token_ids, synth_token_ids)
+        n_chunk = chunk_frames * 160
+        audio = np.zeros((lanes, n_chunk), np.float32)
+        for i in range(lanes):
+            parts, total = [], 0
+            while total < n_chunk:
+                w = synth_token_ids(random_token_ids(rng, 4, 18),
+                                    noise=0.01, rng=rng)
+                parts.append(w)
+                total += len(w)
+            audio[i] = np.concatenate(parts)[:n_chunk]
+        f, _ = log_mel_features(jnp.asarray(audio),
+                                jnp.full((lanes,), n_chunk, jnp.int32),
+                                n_mels=cfg.n_mels)
+        feats = f[:, :, :chunk_frames].astype(jnp.bfloat16)
+    else:
+        feats = jnp.asarray(
+            rng.standard_normal((lanes, cfg.n_mels, chunk_frames)) * 0.3,
+            jnp.bfloat16)
     active = jnp.ones((lanes,), bool)
     enc_lens = jnp.full((lanes,), chunk_frames // cfg.subsampling_factor,
                         jnp.int32)

@@ -43,8 +43,9 @@ async def drive(port: int, streams: int, duration: float) -> dict:
     stop = asyncio.Event()
     async with aiohttp.ClientSession() as session:
         tasks = [asyncio.create_task(stream_client(
-            session, f"{base}/v2/decode/stream/default", stats, stop))
-            for _ in range(streams)]
+            session, f"{base}/v2/decode/stream/default", stats, stop,
+            synth_seed=200 + i))
+            for i in range(streams)]
         await asyncio.sleep(duration)
         stop.set()
         await asyncio.gather(*tasks, return_exceptions=True)
@@ -82,7 +83,13 @@ def main() -> None:
         "AMIRA_NATIVE_CHUNK_FRAMES": str(args.chunk_frames),
         "AMIRA_MAX_CONCURRENT_STREAMS": str(max(args.streams, 10)),
         "AMIRA_SERVER_PORT": str(port),
+        "AMIRA_VOCABULARY_PATH": str(_REPO / "model-repo" / "vocab.txt"),
     })
+    # trained causal checkpoint when present: partials carry real text
+    # (tools/train_synth.py --preset large-streaming)
+    ckpt = _REPO / "model-repo" / "large-synth-stream"
+    if ckpt.is_dir() and args.preset == "large-streaming":
+        env["AMIRA_CHECKPOINT_PATH"] = str(ckpt)
     proc = subprocess.Popen(
         [_sys.executable, "-m", "amira_rust_asr_server_tpu.server",
          "--port", str(port)],
