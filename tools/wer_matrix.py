@@ -80,6 +80,9 @@ def main() -> None:
                          use_pallas_decode_step=False),
         "bf16_pallas": dict(compute_dtype="bfloat16"),
         "int8_pallas": dict(compute_dtype="bfloat16", quantization="int8"),
+        "int8dec_pallas": dict(compute_dtype="bfloat16",
+                               quantization="int8",
+                               int8_decode_weights=True),
         "beam10_bf16": dict(compute_dtype="bfloat16", decoding_mode="beam",
                             beam_width=args.beam_width),
     }
