@@ -102,6 +102,11 @@ class Config:
     # weight footprint (~13 -> ~6.6 MB on the flagship). Requires a
     # Pallas loop kernel flag above; no effect off-TPU.
     int8_decode_weights: bool = False
+    # lanes per grid step of the whole-loop decode kernel: batches larger
+    # than this grid over lane blocks (weights stay resident across grid
+    # steps). 16 measured best on v5e bf16; int8-resident weights free
+    # enough VMEM to try 32.
+    decode_lane_block: int = 16
     # the WHOLE beam scan as one persistent Pallas kernel (TPU only;
     # unconstrained search — decoding-graph requests stay on the XLA
     # path). See ops/pallas/beam_loop.py.

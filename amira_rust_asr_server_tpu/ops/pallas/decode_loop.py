@@ -280,13 +280,14 @@ def quantize_pred_lstm(pred_params):
 @functools.partial(
     jax.jit,
     static_argnames=("blank_id", "max_symbols", "max_total", "lookahead",
-                     "interpret"))
+                     "lane_block", "interpret"))
 def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
                        h0: jax.Array, c0: jax.Array, pred0: jax.Array,
                        last0: jax.Array, token_offset: jax.Array,
                        pred_params, joint_params, pred_quant=None, *,
                        blank_id: int, max_symbols: int, max_total: int,
-                       lookahead: int = 8, interpret: bool = False):
+                       lookahead: int = 8, lane_block: int = 16,
+                       interpret: bool = False):
     """Run the whole greedy decode on device in one kernel call.
 
     enc_pre: [B, T', d_joint] joint_precompute_enc output.
@@ -310,7 +311,7 @@ def greedy_loop_pallas(enc_pre: jax.Array, enc_lens: jax.Array,
     # ~13 MB of resident weights — larger batches (32+) must grid over
     # lane blocks (weights stay resident across grid steps; batch buckets
     # are powers of two so LB always divides b)
-    lb = 16 if b % 16 == 0 else b
+    lb = lane_block if b % lane_block == 0 else (16 if b % 16 == 0 else b)
     quant = pred_quant is not None
     kernel = _make_kernel(lb, t_max, lookahead, VOCAB_PAD, blank_id,
                           max_symbols, max_total, d_pred, d_joint,

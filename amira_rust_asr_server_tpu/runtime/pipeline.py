@@ -187,7 +187,8 @@ class AsrPipeline:
                     params["predictor"], params["joint"], pred_quant,
                     blank_id=mcfg.blank_id, max_symbols=max_symbols,
                     max_total=max_total,
-                    lookahead=self.config.greedy_lookahead)
+                    lookahead=self.config.greedy_lookahead,
+                    lane_block=self.config.decode_lane_block)
             res = GreedyResult(tokens=tokens, counts=counts,
                                frame_idx=frames, confidence=confs,
                                state=st, pred_out=p_out, last_token=last)
