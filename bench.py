@@ -524,8 +524,59 @@ def bench_streaming(results: dict) -> None:
     })
 
 
+def _probe_backend_subprocess(timeout_s: float) -> tuple[bool, str]:
+    """Probe jax.devices() in a CHILD so a tunnel hang or a cached
+    backend-init failure can't poison this process (round-3 postmortem:
+    jax.devices() under axon either raises UNAVAILABLE or hangs forever
+    when the tunnel is down, and a failed init is cached per-process)."""
+    import subprocess
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s"
+    if proc.returncode == 0:
+        return True, proc.stdout.strip()
+    return False, (proc.stderr.strip().splitlines() or ["no stderr"])[-1]
+
+
+def init_backend(max_attempts: int = 3):
+    """Bounded-retry backend init. Returns the first device, or None after
+    exhausting retries (axon first contact has 2-85 s variance and the
+    tunnel occasionally flakes; the one run the driver gets must not die
+    on a transient)."""
+    for attempt in range(max_attempts):
+        ok, detail = _probe_backend_subprocess(timeout_s=120.0)
+        if ok:
+            log(f"backend probe ok: {detail}")
+            # tunnel is up; parent init is now expected to be fast, but
+            # guard it anyway so a race can't hang the artifact
+            try:
+                with deadline(300, "parent backend init"):
+                    return jax.devices()[0]
+            except (Exception, _SectionTimeout) as e:  # noqa: BLE001
+                detail = repr(e)
+        log(f"backend init attempt {attempt + 1}/{max_attempts} failed: "
+            f"{detail}")
+        if attempt < max_attempts - 1:
+            time.sleep(min(60.0, 10.0 * 2 ** attempt))
+    return None
+
+
 def main():
-    dev = jax.devices()[0]
+    dev = init_backend()
+    if dev is None:
+        # machine-readable failure (still rc!=0 so the round is honestly
+        # red) instead of a raw traceback the driver can't parse
+        print(json.dumps({
+            "metric": "batch_rtfx", "value": 0.0, "unit": "x_realtime",
+            "vs_baseline": 0.0, "error": "backend_unavailable",
+            "detail": ("axon TPU backend failed to initialize after "
+                       "bounded retries (tunnel down?)"),
+        }))
+        sys.exit(1)
     log(f"device: {dev} ({dev.platform})")
     results: dict = {}
     ctx = bench_batch(results)
