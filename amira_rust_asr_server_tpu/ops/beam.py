@@ -90,35 +90,61 @@ class TokenTrie:
         ``weights[i]`` (log-space, e.g. a unigram log-prob) is placed on
         the LAST arc of ``seqs[i]`` — the standard weighted-lexicon
         convention (cost realized when the word/phrase completes, so
-        shared prefixes stay unweighted). ``final_weights[i]`` lands on
-        the sequence's final state.
+        shared prefixes stay unweighted). When ``seqs[i]`` is a strict
+        prefix of another sequence its last arc is an INTERIOR arc of the
+        longer phrase, so placing the weight there would make the longer
+        phrase collect both weights; such weights are realized as a
+        completion weight on the final state instead (folded into
+        ``final_weight``, and — with ``loop=True`` — onto the baked
+        root-restart arcs, the epsilon-free closure of the exit arc).
+        ``final_weights[i]`` lands on the sequence's final state.
         """
         children: List[dict] = [{}]   # node -> {token: child}
         final: List[bool] = [False]
-        arc_w: List[dict] = [{}]      # node -> {token: weight}
         fin_w: List[float] = [0.0]
+        ends: List[int] = []          # seqs[i] -> end node
         for i, seq in enumerate(seqs):
             node = 0
-            for j, tok in enumerate(seq):
+            for tok in seq:
                 tok = int(tok)
                 if tok not in children[node]:
                     children.append({})
                     final.append(False)
-                    arc_w.append({})
                     fin_w.append(0.0)
                     children[node][tok] = len(children) - 1
-                if weights is not None and j == len(seq) - 1:
-                    # last arc carries the sequence weight; on a shared
-                    # last arc keep the best (max) weight, like an FSA
-                    # union of the weighted paths
-                    prev = arc_w[node].get(tok)
-                    w = float(weights[i])
-                    arc_w[node][tok] = w if prev is None else max(prev, w)
                 node = children[node][tok]
+            ends.append(node)
             if seq:
                 final[node] = True
                 if final_weights is not None:
                     fin_w[node] = float(final_weights[i])
+        # second pass (structure is complete, so prefix-of-a-longer-phrase
+        # end nodes are detectable by having children): assign sequence
+        # weights; duplicates max-merge like an FSA union of weighted paths
+        arc_w: List[dict] = [{} for _ in children]  # node -> {token: w}
+        comp_w: List[Optional[float]] = [None] * len(children)
+        if weights is not None:
+            for i, seq in enumerate(seqs):
+                if not seq:
+                    continue
+                w = float(weights[i])
+                end = ends[i]
+                if children[end]:
+                    # last arc shared with a longer phrase's interior:
+                    # realize at completion instead
+                    prev = comp_w[end]
+                    comp_w[end] = w if prev is None else max(prev, w)
+                else:
+                    # re-walk to the parent of the last arc
+                    parent = 0
+                    for tok in seq[:-1]:
+                        parent = children[parent][int(tok)]
+                    tok = int(seq[-1])
+                    prev = arc_w[parent].get(tok)
+                    arc_w[parent][tok] = w if prev is None else max(prev, w)
+        for node, w in enumerate(comp_w):
+            if w is not None:
+                fin_w[node] += w
         n = len(children)
         table = np.full((n, vocab_size), -1, np.int32)
         wtable = np.zeros((n, vocab_size), np.float32)
@@ -129,14 +155,17 @@ class TokenTrie:
                 wtable[node, tok] = w
         if loop:
             # final states restart at the root: inherit root transitions
-            # (and their arc weights) where the state has no continuation
+            # (and their arc weights) where the state has no continuation.
+            # Restarting means the phrase ending at `node` completed, so the
+            # restart arc also carries that state's final weight (the
+            # epsilon-free closure of final-exit -> root).
             root_row = table[0]
             root_w = wtable[0]
-            for node in range(n):
+            for node in range(1, n):
                 if final[node]:
                     free = table[node] < 0
                     table[node, free] = root_row[free]
-                    wtable[node, free] = root_w[free]
+                    wtable[node, free] = root_w[free] + fin_w[node]
         return cls(next_state=jnp.asarray(table),
                    is_final=jnp.asarray(np.asarray(final)),
                    arc_weight=jnp.asarray(wtable),

@@ -237,8 +237,10 @@ class ContinuousBatcher:
             futures = [item[2] for item in group]
             # time INSIDE the executor callable, per attempt: the metric
             # is device-dispatch latency, not single-dispatch-thread
-            # queueing or retry backoff (those would conflate under load)
-            dev_s = [0.0]
+            # queueing or retry backoff (those would conflate under load).
+            # None = the callable never ran (executor/retry-wrapper failure
+            # before dispatch) — no sample belongs in the histogram then.
+            dev_s = [None]
 
             def call_greedy():
                 ta = time.perf_counter()
@@ -255,7 +257,8 @@ class ContinuousBatcher:
                     await self._retry.run(lambda: loop.run_in_executor(
                         self.executor, call_greedy))
             except Exception as e:  # noqa: BLE001 — fan the error out
-                self._observe_device("greedy", dev_s[0], ok=False)
+                if dev_s[0] is not None:
+                    self._observe_device("greedy", dev_s[0], ok=False)
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
@@ -287,7 +290,7 @@ class ContinuousBatcher:
         for group in groups:
             samples = [item[0] for item in group]
             futures = [item[2] for item in group]
-            dev_s = [0.0]  # per-attempt device timing (see greedy path)
+            dev_s = [None]  # per-attempt device timing (see greedy path)
 
             def call_beam():
                 ta = time.perf_counter()
@@ -301,7 +304,8 @@ class ContinuousBatcher:
                 res, feat_lens, enc_lens = await self._retry.run(
                     lambda: loop.run_in_executor(self.executor, call_beam))
             except Exception as e:  # noqa: BLE001
-                self._observe_device("beam", dev_s[0], ok=False)
+                if dev_s[0] is not None:
+                    self._observe_device("beam", dev_s[0], ok=False)
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)

@@ -33,7 +33,7 @@ import numpy as np
 from .. import constants as C
 from ..audio import pcm16_bytes_to_f32
 from ..config import Config
-from ..errors import InvalidAudioFormatError
+from ..errors import ConfigValidationError, InvalidAudioFormatError
 from ..models import Transducer
 from ..ops import log_mel_features
 from ..ops.greedy import GreedyResult, greedy_decode
@@ -140,13 +140,21 @@ class AsrPipeline:
                         continue
                     phrase, sep, w = ln.rpartition("\t")
                     if sep and phrase:
+                        # a tab means "phrase<TAB>weight"; a junk weight is
+                        # a config error, not a phrase that happens to
+                        # contain a tab (silently encoding the raw line
+                        # would corrupt the grammar)
                         try:
                             weights.append(float(w))
-                            phrases.append(phrase.strip())
-                            any_w = True
-                            continue
                         except ValueError:
-                            pass
+                            raise ConfigValidationError(
+                                f"grammar line {ln!r} in "
+                                f"{cfg.beam_grammar_path}: expected "
+                                f"'phrase<TAB>log_weight', got non-numeric "
+                                f"weight {w!r}") from None
+                        phrases.append(phrase.strip())
+                        any_w = True
+                        continue
                     phrases.append(ln)
                     weights.append(0.0)
             self.beam_graph = TokenTrie.from_phrases(

@@ -115,7 +115,9 @@ def digit_batches(batch_size: int, *, audio_bucket: int = 32000,
             if repeat_bias > 0.0 and rng.random() < repeat_bias:
                 pos = int(rng.integers(0, len(words)))
                 run = [words[pos]] * int(rng.integers(1, 4))
-                words = (words[:pos + 1] + run)[:max_words]
+                # insert the run, keeping the sentence tail, so runs also
+                # occur mid-sentence (followed by other digits)
+                words = (words[:pos + 1] + run + words[pos + 1:])[:max_words]
             amp = float(rng.uniform(0.15, 0.45))
             waves.append(synth_digits(words, noise=noise, amplitude=amp,
                                       rng=rng))

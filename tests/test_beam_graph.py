@@ -187,8 +187,10 @@ def test_beam_matches_exhaustive_oracle():
 # ref: k2_decoder_backend.cc:63-253 IntersectDensePruned/ShortestPath)
 # ---------------------------------------------------------------------------
 def test_weighted_trie_structure():
-    """Sequence weights land on the LAST arc; final weights on the final
-    state; loop inheritance copies root arc weights."""
+    """Sequence weights land on the LAST arc when that arc is not shared
+    with a longer phrase's interior; the prefix phrase [1] (of [1,2])
+    realizes its weight at completion (final weight + loop-restart arcs)
+    instead, so [1,2] never double-collects it."""
     trie = TokenTrie.from_token_seqs(
         [[1, 2], [1]], vocab_size=4, loop=True,
         weights=[-1.5, -0.25], final_weights=[0.5, 0.0])
@@ -197,16 +199,87 @@ def test_weighted_trie_structure():
     fw = np.asarray(trie.final_weight)
     n1 = nxt[0, 1]
     n12 = nxt[n1, 2]
-    assert aw[0, 1] == -0.25          # [1]'s last arc (shared first arc)
-    assert aw[n1, 2] == -1.5          # [1,2]'s last arc
-    assert fw[n12] == 0.5 and fw[n1] == 0.0
-    # loop: final state n12 inherits root's arc 1 WITH its weight
-    assert nxt[n12, 1] == n1 and aw[n12, 1] == -0.25
+    assert aw[0, 1] == 0.0            # shared arc carries NO phrase weight
+    assert fw[n1] == -0.25            # [1]'s weight realized at completion
+    assert aw[n1, 2] == -1.5          # [1,2]'s last arc (n12 is a leaf)
+    assert fw[n12] == 0.5
+    # loop: final state n12 inherits root's arc 1 plus its OWN final
+    # weight (restarting = completing the phrase, epsilon-free closure)
+    assert nxt[n12, 1] == n1 and aw[n12, 1] == pytest.approx(0.5)
+    # restarting from n1 via a root token also pays [1]'s completion weight
+    assert nxt[n1, 1] == n1 and aw[n1, 1] == pytest.approx(-0.25)
     # unweighted default stays all-zero (boolean special case)
     plain = TokenTrie.from_token_seqs([[1, 2]], vocab_size=4)
     assert not np.asarray(plain.arc_weight).any()
     assert not np.asarray(plain.final_weight).any()
     assert not plain.weighted and trie.weighted
+
+
+def test_weighted_trie_prefix_phrase_no_double_count():
+    """Acoustics and grammar make [1,2] the best total-weight path, but a
+    heavy weight on the PREFIX phrase [1] must not leak onto [1,2]'s
+    score (advisor round-3 finding: last-arc weights on a shared arc
+    double-counted into the longer phrase, flipping winners)."""
+    lp = np.log
+    # single frame, expansions up to 2 tokens then blank; stateless-by-
+    # last-token lattice rows: [after0, after1, after2, sos] (rows sum to
+    # 1 exactly — beam_decode log_softmaxes the joint output)
+    sos = [lp(0.25), lp(0.3), lp(0.05), lp(0.4)]
+    after0 = [lp(0.02), lp(0.04), lp(0.04), lp(0.9)]
+    after1 = [lp(0.02), lp(0.03), lp(0.5), lp(0.45)]
+    after2 = [lp(0.02), lp(0.04), lp(0.04), lp(0.9)]
+    table = np.asarray([after0, after1, after2, sos], np.float32)
+    jt = jnp.asarray(table)
+
+    def joint(enc_frame, pred_out):
+        last = jnp.clip(pred_out[:, 0].astype(jnp.int32), 0, 3)
+        return jt[last]
+
+    graph = TokenTrie.from_token_seqs(
+        [[1], [1, 2], [0]], vocab_size=VOCAB, loop=False,
+        weights=[-10.0, 0.0, -1.0])
+    enc = jnp.zeros((1, 1, 1))
+    res = run_beam(joint, enc, [1], k=8, s=3, graph=graph)
+    got = res.tokens[0, :res.counts[0]].tolist()
+    # correct totals: [1,2] = ln.3+ln.5+ln.9 ~= -2.00 (NO -10 leak);
+    # [0] = ln.25+ln.9-1.0 ~= -2.49; [1] = ln.3+ln.45-10 ~= -12.0
+    assert got == [1, 2], got
+    want = lp(0.3) + lp(0.5) + lp(0.9)
+    assert abs(res.scores[0] - want) < 1e-3
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_weighted_beam_oracle_prefix_grammar(seed):
+    """Exhaustive oracle over a grammar where one phrase is a prefix of
+    another (the advisor's untested case), including loop restarts."""
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((4, VOCAB)) * 2.0
+    table = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+
+    graph = TokenTrie.from_token_seqs(
+        [[0], [0, 1], [2]], vocab_size=VOCAB, loop=True,
+        weights=list(rng.standard_normal(3) * 2.0),
+        final_weights=list(rng.standard_normal(3)))
+    nxt = np.asarray(graph.next_state)
+    fin = np.asarray(graph.is_final)
+    aw = np.asarray(graph.arc_weight)
+    fw = np.asarray(graph.final_weight)
+
+    t_frames, s_max = 3, 3
+    jt = jnp.asarray(table, jnp.float32)
+
+    def joint(enc_frame, pred_out):
+        last = jnp.clip(pred_out[:, 0].astype(jnp.int32), 0, 3)
+        return jt[last]
+
+    enc = jnp.zeros((1, t_frames, 1))
+    # k=32: no pruning — see test_weighted_beam_matches_exhaustive_oracle
+    res = run_beam(joint, enc, [t_frames], k=32, s=s_max, graph=graph)
+    want_score, want_seq = _oracle_best_weighted(
+        table, t_frames, s_max, nxt, fin, aw, fw)
+    got = res.tokens[0, :res.counts[0]].tolist()
+    assert got == want_seq, (got, want_seq)
+    assert abs(res.scores[0] - want_score) < 1e-3
 
 
 def test_from_tables_arbitrary_fsa():
@@ -337,7 +410,10 @@ def test_weighted_beam_matches_exhaustive_oracle(seed):
         return jt[last]
 
     enc = jnp.zeros((1, t_frames, 1))
-    res = run_beam(joint, enc, [t_frames], k=16, s=s_max, graph=graph)
+    # k=32: wide enough to hold EVERY graph-legal alignment — final
+    # weights are collected when decoding ends, so they cannot shape the
+    # frame-by-frame pruning; an exactness test must not prune at all
+    res = run_beam(joint, enc, [t_frames], k=32, s=s_max, graph=graph)
     want_score, want_seq = _oracle_best_weighted(
         table, t_frames, s_max, nxt, fin, aw, fw)
     got = res.tokens[0, :res.counts[0]].tolist()
@@ -473,6 +549,26 @@ def test_pipeline_weighted_grammar_file(digits, tmp_path):
     tr = pipe.process_batch_samples(wave)
     # "one" is acoustically right but carries -50; "six" wins
     assert tr.text == "six"
+
+
+def test_grammar_file_rejects_junk_weight(tmp_path):
+    """'phrase<TAB>non-number' is a config error, not a phrase that
+    happens to contain a tab (advisor round-3 finding)."""
+    import jax as _jax
+    from amira_rust_asr_server_tpu.config import Config
+    from amira_rust_asr_server_tpu.errors import ConfigValidationError
+    from amira_rust_asr_server_tpu.models import Transducer
+    from amira_rust_asr_server_tpu.runtime import AsrPipeline
+    model = Transducer.from_preset("tiny")
+    params = model.init(_jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"w{i}" for i in range(15)})
+    grammar = tmp_path / "grammar_bad.txt"
+    grammar.write_text("hello\tabc\n", encoding="utf-8")
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1],
+                 decoding_mode="beam", beam_width=2,
+                 beam_grammar_path=str(grammar), compute_dtype="float32")
+    with pytest.raises(ConfigValidationError, match="non-numeric"):
+        AsrPipeline(model, params, vocab, cfg)
 
 
 def test_beam_honors_max_total_budget():
