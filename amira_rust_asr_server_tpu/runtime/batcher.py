@@ -321,7 +321,8 @@ class ContinuousBatcher:
                     text=vocab.decode_tokens(toks), tokens=toks,
                     audio_length_samples=samples[i].shape[0],
                     features_length=feat_lens[i],
-                    encoded_length=enc_lens[i])
+                    encoded_length=enc_lens[i],
+                    decode_path=self.pipeline.last_decode_path)
                 if res.n_best:
                     tr.n_best = [
                         {"text": vocab.decode_tokens(seq), "score": score,

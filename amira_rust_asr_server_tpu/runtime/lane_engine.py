@@ -21,6 +21,8 @@ The server drives ``tick`` from its device-dispatch executor.
 
 from __future__ import annotations
 
+import threading
+import time
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -36,16 +38,80 @@ from ..vocab import Vocabulary
 from .native_stream import StreamingFeaturizer
 
 
+class LaneEngineStats:
+    """Native-mode serving observability: the lane engine is the hot path
+    when streaming_mode=native, so it gets the same stats surface as the
+    continuous batcher (the reference instruments its whole hot path,
+    ref: src/reliability/metrics.rs:21-214; round-3 loadtests showed
+    batcher zeros under 16 live native streams — this section is what
+    makes native mode visible at /metrics)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.ticks = 0
+        self.lanes_stepped_total = 0
+        self.max_lanes_per_tick = 0
+        self.attaches = 0
+        self.sheds = 0              # attach() found no free lane
+        self.last_tick_ms = 0.0
+        self.tick_ms_ewma = 0.0
+
+    def record_tick(self, lanes: int, dur_s: float) -> None:
+        ms = dur_s * 1e3
+        with self._lock:
+            self.ticks += 1
+            self.lanes_stepped_total += lanes
+            self.max_lanes_per_tick = max(self.max_lanes_per_tick, lanes)
+            self.last_tick_ms = ms
+            self.tick_ms_ewma = (ms if self.ticks == 1
+                                 else 0.9 * self.tick_ms_ewma + 0.1 * ms)
+
+    def record_attach(self, ok: bool) -> None:
+        with self._lock:
+            if ok:
+                self.attaches += 1
+            else:
+                self.sheds += 1
+
+    def to_json(self, live_lanes: int, n_lanes: int,
+                warmed_up: bool) -> Dict:
+        with self._lock:
+            ticks = self.ticks
+            return {
+                "ticks": ticks,
+                "live_lanes": live_lanes,
+                "n_lanes": n_lanes,
+                "warmed_up": warmed_up,
+                "lanes_stepped_total": self.lanes_stepped_total,
+                "mean_lanes_per_tick": round(
+                    self.lanes_stepped_total / ticks, 2) if ticks else 0.0,
+                "max_lanes_per_tick": self.max_lanes_per_tick,
+                "attaches": self.attaches,
+                "sheds": self.sheds,
+                "last_tick_ms": round(self.last_tick_ms, 2),
+                "tick_ms_ewma": round(self.tick_ms_ewma, 2),
+            }
+
+
 class StreamingLaneEngine:
     def __init__(self, model: Transducer, params, vocab: Vocabulary,
                  n_lanes: int = 8, chunk_frames: int = 64,
                  norm: str = "stream",
                  max_symbols: int = C.MAX_SYMBOLS_PER_STEP,
-                 max_total: int = C.MAX_TOTAL_TOKENS):
+                 max_total: int = C.MAX_TOTAL_TOKENS, mesh=None):
         cfg = model.config
         assert cfg.causal, "lane engine requires a causal model preset"
         assert chunk_frames % cfg.subsampling_factor == 0
         self.model = model
+        if mesh is not None:
+            # tensor-parallel serving for the native streaming path: the
+            # same declarative TP shardings as AsrPipeline (parallel.mesh
+            # megatron-style rules); GSPMD inserts the ICI collectives
+            # inside the fused chunk step. Lane state stays replicated —
+            # the chunk step is latency-bound, so TP splits the matmuls.
+            from ..parallel.mesh import shard_params
+            params = shard_params(mesh, params)
+        self.mesh = mesh
         self.params = params
         self.vocab = vocab
         self.cfg = cfg
@@ -135,6 +201,41 @@ class StreamingLaneEngine:
 
         self._reset = jax.jit(reset_lane, donate_argnums=(0, 1, 2, 3))
 
+        self.warmed_up = False
+        self.stats = LaneEngineStats()
+        # optional PrometheusMetrics; AppState wires it (like the batcher)
+        self.prometheus = None
+
+    # ------------------------------------------------------------------
+    def warm(self) -> float:
+        """Compile + first-dispatch the fused chunk-step and lane-reset
+        programs BEFORE any stream is admitted; returns seconds taken.
+
+        Warm-before-accept: the first dispatch of a fresh program on the
+        axon platform can take 2-85 s (compile aside), which blows the
+        per-decode budget of whichever unlucky stream triggers it — the
+        round-3 native loadtest's reconnect storm (661 sessions for 16
+        streams) was exactly this. An all-inactive step is state-preserving
+        (masked select), so warming is invisible to lanes."""
+        t0 = time.perf_counter()
+        feats = jnp.zeros((self.n_lanes, self.cfg.n_mels, self.chunk_frames),
+                          self._dtype)
+        active = jnp.zeros((self.n_lanes,), bool)
+        zeros = jnp.zeros((self.n_lanes,), jnp.int32)
+        cache2, res = self._step(
+            self.params, feats, active, zeros, self.enc_cache,
+            self.dec_state, self.pred_out, self.last_token, zeros)
+        self.enc_cache = cache2
+        self.dec_state = res.state
+        self.pred_out = res.pred_out
+        self.last_token = res.last_token
+        self._reset_lane_device_state(0)
+        # host readback, not block_until_ready: on axon the latter can
+        # return before execution finishes (CLAUDE.md timing gotcha)
+        np.asarray(self.last_token)
+        self.warmed_up = True
+        return time.perf_counter() - t0
+
     # ------------------------------------------------------------------
     # lane lifecycle
     # ------------------------------------------------------------------
@@ -149,8 +250,16 @@ class StreamingLaneEngine:
                 self.tokens[lane] = []
                 self.finishing[lane] = False
                 self._reset_lane_device_state(lane)
+                self.stats.record_attach(True)
                 return lane
+        self.stats.record_attach(False)
+        if self.prometheus is not None:
+            self.prometheus.lane_sheds.inc()
         return None
+
+    @property
+    def live_lanes(self) -> int:
+        return sum(1 for f in self.featurizers if f is not None)
 
     def detach(self, lane: int) -> None:
         self.featurizers[lane] = None
@@ -192,6 +301,7 @@ class StreamingLaneEngine:
         ready = self.pending()
         if not ready:
             return {}
+        t0 = time.perf_counter()
         m = self.cfg.n_mels
         tc = self.chunk_frames
         feats = np.zeros((self.n_lanes, m, tc), np.float32)
@@ -232,6 +342,11 @@ class StreamingLaneEngine:
             new = [int(t) for t in toks[lane, :n]]
             self.tokens[lane].extend(new)
             out[lane] = new
+        # np.asarray above is a host readback, so the timing is honest
+        dur = time.perf_counter() - t0
+        self.stats.record_tick(len(ready), dur)
+        if self.prometheus is not None:
+            self.prometheus.observe_lane_tick(len(ready), dur)
         return out
 
     # ------------------------------------------------------------------

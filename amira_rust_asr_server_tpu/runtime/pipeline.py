@@ -111,6 +111,10 @@ class AsrPipeline:
         # optional observability hook: called once per new bucket program
         # (wired to the prometheus asr_xla_compilations_total counter)
         self.on_compile = None
+        # beam decode-path routing observability (kernel vs scan)
+        self.on_beam_path = None
+        self.decode_path_counts = {"pallas_kernel": 0, "xla_scan": 0}
+        self.last_decode_path = None
         self._warmup_thread: Optional[threading.Thread] = None
         self._warmup_stop = threading.Event()
         # host staging-buffer pool: one reusable padded array per bucket
@@ -423,6 +427,22 @@ class AsrPipeline:
             exp_token=expt, pool_parent_s=pps, pool_parent_k=ppk,
             pool_final=pool_final)
 
+    def beam_decode_path(self, graph=None) -> str:
+        """Which device program a beam decode with ``graph`` (an already-
+        resolved TokenTrie or None) runs: "pallas_kernel" (whole-scan
+        persistent kernel) or "xla_scan". The routing is silent otherwise
+        — a grammar crossing PALLAS_GRAPH_MAX_STATES triples latency with
+        no visible cause, so decode_beam_batch counts the decision and
+        stamps it into response metadata (round-3 verdict item)."""
+        mcfg = self.model.config
+        if (self.config.use_pallas_beam_loop
+                and mcfg.pred_layers == 2
+                and (graph is None or
+                     graph.n_states <= self.PALLAS_GRAPH_MAX_STATES)
+                and jax.default_backend() == "tpu"):
+            return "pallas_kernel"
+        return "xla_scan"
+
     def _beam_forward(self, params, pred_quant, audio, audio_lens, bias,
                       graph, *, beam_width, max_expansions):
         """One jitted program: mel -> encode -> beam scan (device trace).
@@ -435,11 +455,7 @@ class AsrPipeline:
         enc, enc_lens = self.model.encode(
             params, feats.astype(self.compute_dtype), feat_lens)
         enc_pre = self.model.joint_precompute_enc(params, enc)
-        if (self.config.use_pallas_beam_loop
-                and mcfg.pred_layers == 2
-                and (graph is None or
-                     graph.n_states <= self.PALLAS_GRAPH_MAX_STATES)
-                and jax.default_backend() == "tpu"):
+        if self.beam_decode_path(graph) == "pallas_kernel":
             # whole beam scan as one persistent kernel (weights — and for
             # constrained search the trie tables — VMEM-resident; see
             # ops/pallas/beam_loop.py); very large FSAs and non-2-layer
@@ -468,6 +484,12 @@ class AsrPipeline:
         (BeamResult over all lanes, feat_lens list, enc_lens list)."""
         from ..ops.beam import backtrace
         cfg = self.config
+        g = graph if graph is not None else self.beam_graph
+        path = self.beam_decode_path(g)
+        self.decode_path_counts[path] += 1
+        self.last_decode_path = path
+        if self.on_beam_path is not None:
+            self.on_beam_path(path)
         b_real = len(samples)
         n = self._bucket_len(max(s.shape[0] for s in samples))
         b = self._bucket_batch_warm(b_real, n, "beam")
@@ -502,7 +524,8 @@ class AsrPipeline:
             tr = Transcription(
                 text=self.vocab.decode_tokens(tokens), tokens=tokens,
                 audio_length_samples=samples.shape[0],
-                features_length=feat_len, encoded_length=enc_len)
+                features_length=feat_len, encoded_length=enc_len,
+                decode_path=self.last_decode_path)
             if res.n_best:
                 tr.n_best = [
                     {"text": self.vocab.decode_tokens(seq), "score": score,

@@ -151,6 +151,10 @@ async def handle_batch(request: web.Request) -> web.Response:
             metadata["words"] = state.vocab.decode_words(tr.token_details)
         if tr.n_best:
             metadata["n_best"] = tr.n_best
+        if tr.decode_path:
+            # kernel-vs-scan routing (a >1024-state grammar silently
+            # falls back to the slower XLA scan — make it diagnosable)
+            metadata["decode_path"] = tr.decode_path
         response = AsrResponse(
             transcription=tr.text, status=StreamStatus.COMPLETE,
             metadata=metadata, opaque=opaque)
@@ -275,6 +279,13 @@ async def metrics_handler(request: web.Request) -> web.Response:
     payload = state.metrics.to_json()
     payload["circuit_breaker"] = state.breaker.stats()
     payload["batcher"] = state.batcher.stats.to_json()
+    if state.lane_engine is not None:
+        eng = state.lane_engine
+        payload["lane_engine"] = eng.stats.to_json(
+            eng.live_lanes, eng.n_lanes, eng.warmed_up)
+    if state.config.decoding_mode == "beam":
+        payload["beam_decode_paths"] = dict(
+            state.pipeline.decode_path_counts)
     return web.json_response(payload)
 
 
@@ -384,6 +395,14 @@ def build_state(config: Optional[Config] = None,
         # the remaining (batch x length) buckets compile off-thread while
         # the warm set serves; the batcher packs only into warm buckets
         pipeline.start_background_warmup()
+        if state.lane_engine is not None:
+            # warm-before-accept for native streaming: the lane engine's
+            # fused chunk step is the hot path in this mode, and a cold
+            # first dispatch (2-85 s on axon) inside a live stream blows
+            # the per-decode budget and churns sessions (round-3 loadtest)
+            took = state.lane_engine.warm()
+            log.info("warmed lane engine (%d lanes) in %.1fs",
+                     state.lane_engine.n_lanes, took)
     return state
 
 

@@ -165,9 +165,36 @@ class PrometheusMetrics:
             "asr_inference_queue_depth",
             "Batcher admission queue depth (connection_pool analogue)",
             registry=self.registry)
+        # native streaming lane engine (the hot path when
+        # streaming_mode=native; round-3 loadtests showed this mode was
+        # invisible to /metrics — batcher zeros under 16 live streams)
+        self.lane_ticks = Counter(
+            "asr_lane_ticks_total", "Lane-engine fused chunk steps",
+            registry=self.registry)
+        self.lane_tick_duration = Histogram(
+            "asr_lane_tick_duration_seconds",
+            "Fused chunk-step latency (all ready lanes, one dispatch)",
+            registry=self.registry,
+            buckets=(.005, .01, .025, .05, .1, .25, .5, 1, 2.5, 5))
+        self.lane_lanes_per_tick = Histogram(
+            "asr_lane_lanes_per_tick", "Ready lanes advanced per tick",
+            registry=self.registry, buckets=(1, 2, 4, 8, 16, 32, 64))
+        self.lane_live = Gauge(
+            "asr_lane_live", "Attached (live) lane-engine lanes",
+            registry=self.registry)
+        self.lane_sheds = Counter(
+            "asr_lane_sheds_total",
+            "Stream attaches rejected: all lanes busy",
+            registry=self.registry)
+        self.beam_path = Counter(
+            "asr_beam_decode_path_total",
+            "Beam decodes by device program (grammar-size routing: FSAs "
+            "past the kernel's state cap fall back to the XLA scan)",
+            ["path"], registry=self.registry)
         # hooks AppState wires so sync_gauges can read live values
         self.staging_size_fn = None
         self.queue_depth_fn = None
+        self.lane_live_fn = None
 
     def observe_request(self, kind: str, status: str,
                         duration_s: Optional[float] = None,
@@ -190,6 +217,11 @@ class PrometheusMetrics:
         else:
             self.dispatch_failures.labels(program=program).inc()
 
+    def observe_lane_tick(self, lanes: int, duration_s: float) -> None:
+        self.lane_ticks.inc()
+        self.lane_tick_duration.observe(duration_s)
+        self.lane_lanes_per_tick.observe(lanes)
+
     def sync_gauges(self) -> None:
         self.active_streams.set(self._svc.active_streams)
         self.active_batches.set(self._svc.active_batches)
@@ -197,6 +229,8 @@ class PrometheusMetrics:
             self.staging_buffers.set(self.staging_size_fn())
         if self.queue_depth_fn is not None:
             self.queue_depth.set(self.queue_depth_fn())
+        if self.lane_live_fn is not None:
+            self.lane_live.set(self.lane_live_fn())
 
     def exposition(self) -> bytes:
         from prometheus_client import generate_latest

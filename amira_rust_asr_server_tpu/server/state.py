@@ -87,6 +87,8 @@ class AppState:
         if self.prometheus:
             self.batcher.prometheus = self.prometheus
             pipeline.on_compile = self.prometheus.compile_count.inc
+            pipeline.on_beam_path = (
+                lambda p: self.prometheus.beam_path.labels(path=p).inc())
             self.breaker.on_state_change = self._on_breaker_state
             self.prometheus.staging_size_fn = lambda: len(pipeline._staging)
             self.prometheus.queue_depth_fn = self.batcher.queue_depth
@@ -105,8 +107,13 @@ class AppState:
                 chunk_frames=self.config.native_chunk_frames,
                 norm=self.config.native_norm,
                 max_symbols=self.config.max_symbols_per_step,
-                max_total=self.config.max_total_tokens)
+                max_total=self.config.max_total_tokens,
+                mesh=pipeline.mesh)
             self.lane_lock = threading.Lock()
+            if self.prometheus:
+                self.lane_engine.prometheus = self.prometheus
+                self.prometheus.lane_live_fn = \
+                    lambda: self.lane_engine.live_lanes
 
     def _on_breaker_state(self, s) -> None:
         """Breaker transitions: state gauge + open/close trip counters

@@ -261,8 +261,18 @@ class StreamProcessor:
             else:
                 def work():
                     return self.incremental.process_chunk(chunk)
-            budget = (self.state.config.inference_timeout_secs
-                      if self.state.pipeline.warmed_up
+            # cold-aware budget: in native mode the hot program is the
+            # LANE ENGINE's fused chunk step, not the pipeline's batch
+            # buckets — key the budget on the warmth of the program this
+            # stream actually dispatches (the single-session fallback
+            # compiles its own programs, so it is always "cold")
+            if getattr(self.incremental, "session", None) is not None:
+                warmed = False
+            elif getattr(self.incremental, "engine", None) is not None:
+                warmed = self.incremental.engine.warmed_up
+            else:
+                warmed = self.state.pipeline.warmed_up
+            budget = (self.state.config.inference_timeout_secs if warmed
                       else self.state.config.cold_bucket_timeout_secs)
             try:
                 transcription = await self._decode_with_retry(
@@ -316,13 +326,41 @@ class StreamProcessor:
             fut = loop.run_in_executor(self.state.session_executor, work)
             try:
                 return await self.state.breaker.call_async(
-                    asyncio.wait_for(fut, budget))
+                    self._await_with_heartbeat(fut, budget))
             except CapacityExceededError:
                 if attempt + 1 >= attempts:
                     raise
                 log.info("stream %s: final drain shed, retrying once",
                          self.stream_id)
                 await asyncio.sleep(0.25)
+
+    async def _await_with_heartbeat(self, fut, budget: float):
+        """Await the decode, emitting an ACTIVE heartbeat frame (last
+        transcript, message="processing") every keepalive period while a
+        slow dispatch runs — a cold-compile spike must not starve the
+        client's receive loop into abandoning the session (round-3 native
+        loadtest: receive timeouts -> reconnect storm). Warm decodes
+        finish within one period and never heartbeat."""
+        period = max(self.state.config.keepalive_check_period_ms / 1000.0,
+                     0.05)
+        deadline = time.monotonic() + budget
+        task = asyncio.ensure_future(fut)
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                task.cancel()
+                raise asyncio.TimeoutError
+            try:
+                return await asyncio.wait_for(
+                    asyncio.shield(task), min(period, remaining))
+            except asyncio.TimeoutError:
+                if time.monotonic() - deadline >= 0:
+                    task.cancel()
+                    raise
+                await self.send_response(AsrResponse(
+                    transcription=self.last_transcription,
+                    status=StreamStatus.ACTIVE,
+                    message="processing"))
 
     # ------------------------------------------------------------------
     async def send_response(self, response: AsrResponse) -> None:

@@ -102,6 +102,10 @@ class Transcription:
     encoded_length: int
     token_details: Optional[List[TokenInfo]] = None
     n_best: Optional[List[Dict[str, Any]]] = None  # beam alternatives
+    # which device program decoded this (beam: "pallas_kernel"|"xla_scan")
+    # — surfaces the graph-size routing cliff (pipeline.py
+    # PALLAS_GRAPH_MAX_STATES) so grammar users can diagnose latency
+    decode_path: Optional[str] = None
 
 
 @dataclasses.dataclass

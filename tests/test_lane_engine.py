@@ -119,3 +119,51 @@ def test_capacity_exhaustion(setup):
     assert eng.attach() is None
     eng.detach(0)
     assert eng.attach() == 0
+    # shed + attach accounting
+    assert eng.stats.sheds == 1
+    assert eng.stats.attaches == 3
+
+
+def test_warm_is_state_invariant(setup):
+    """warm() pre-dispatches the fused step + reset programs without
+    changing what any later stream decodes (all-inactive step, masked
+    select) — warm-before-accept must be invisible to lanes."""
+    model, params, vocab = setup
+    wave = _wave(6)
+    want = solo_tokens(model, params, vocab, wave)
+
+    eng = StreamingLaneEngine(model, params, vocab, n_lanes=4,
+                              chunk_frames=16, norm="none")
+    assert not eng.warmed_up
+    took = eng.warm()
+    assert eng.warmed_up and took > 0
+    lane = eng.attach()
+    for i in range(0, wave.shape[0], 3200):
+        eng.feed(lane, wave[i:i + 3200])
+        eng.tick()
+    eng.feed(lane, np.zeros(0, np.float32), final=True)
+    eng.drain(lane)
+    assert eng.tokens[lane] == want
+
+
+def test_tick_stats_observability(setup):
+    """Native-mode hot-path stats: ticks, lanes-per-tick, durations all
+    count (round-3 gap: 16 live native streams showed zeros at /metrics)."""
+    model, params, vocab = setup
+    eng = StreamingLaneEngine(model, params, vocab, n_lanes=4,
+                              chunk_frames=16, norm="none")
+    a, b = eng.attach(), eng.attach()
+    # 2960 samples -> 17 mel frames: exactly one 16-frame chunk ready,
+    # 1 leftover (below the ready threshold)
+    for lane, seed in ((a, 7), (b, 8)):
+        eng.feed(lane, _wave(seed, 2960))
+    eng.tick()
+    eng.feed(a, _wave(9, 2960))
+    eng.tick()
+    s = eng.stats.to_json(eng.live_lanes, eng.n_lanes, eng.warmed_up)
+    assert s["ticks"] == 2
+    assert s["lanes_stepped_total"] == 3
+    assert s["max_lanes_per_tick"] == 2
+    assert s["mean_lanes_per_tick"] == 1.5
+    assert s["live_lanes"] == 2 and s["n_lanes"] == 4
+    assert s["last_tick_ms"] > 0 and s["tick_ms_ewma"] > 0

@@ -152,6 +152,42 @@ def test_pipeline_tp_sharded_matches_unsharded(model):
     assert t_plain.text == t_tp.text
 
 
+def test_lane_engine_tp_sharded_matches_unsharded():
+    """Native streaming chunk step with TP-sharded params emits the same
+    tokens as the unsharded engine — the multi-chip story covers the
+    streaming path, not just batch greedy (SURVEY §2.9)."""
+    import dataclasses
+    from amira_rust_asr_server_tpu.models import Transducer
+    from amira_rust_asr_server_tpu.models.presets import TINY
+    from amira_rust_asr_server_tpu.runtime.lane_engine import (
+        StreamingLaneEngine)
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+
+    cfg = dataclasses.replace(TINY, causal=True, att_context=(8, 0))
+    model = Transducer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params["joint"]["out"]["b"] = (
+        params["joint"]["out"]["b"].at[cfg.blank_id].add(2.0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+
+    def run(mesh):
+        eng = StreamingLaneEngine(model, params, vocab, n_lanes=2,
+                                  chunk_frames=16, norm="none", mesh=mesh)
+        lane = eng.attach()
+        wave = (np.random.default_rng(17).standard_normal(16000) * 0.3
+                ).astype(np.float32)
+        for i in range(0, wave.shape[0], 3200):
+            eng.feed(lane, wave[i:i + 3200])
+            eng.tick()
+        eng.feed(lane, np.zeros(0, np.float32), final=True)
+        eng.drain(lane)
+        return eng.tokens[lane]
+
+    plain = run(None)
+    tp = run(make_mesh({"data": 2, "model": 4}))
+    assert plain == tp and len(plain) > 0
+
+
 def test_remat_training_matches_no_remat():
     """Rematerialized blocks change memory, not math."""
     import dataclasses

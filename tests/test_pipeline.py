@@ -117,3 +117,41 @@ def test_beam_mode_pipeline():
     assert isinstance(tr.text, str)
     assert all(0 <= t < 15 for t in tr.tokens)
     assert tr.encoded_length > 0
+
+
+def test_beam_decode_path_routing(monkeypatch):
+    """Kernel-vs-scan routing is computed, counted, and stamped into the
+    Transcription (round-3 verdict: a >1024-state grammar silently
+    tripled latency with no visible cause)."""
+    from amira_rust_asr_server_tpu.ops.beam import TokenTrie
+    model = Transducer.from_preset("tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5], batch_buckets=[1],
+                 decoding_mode="beam", beam_width=2, use_pallas_beam_loop=True)
+    p = AsrPipeline(model, params, vocab, cfg)
+
+    # CPU backend: always the XLA scan
+    assert p.beam_decode_path(None) == "xla_scan"
+
+    # pretend we're on TPU: small graphs ride the kernel, big ones don't
+    import amira_rust_asr_server_tpu.runtime.pipeline as pl
+    monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+    small = TokenTrie.from_token_seqs([[1, 2]], vocab_size=15)
+    assert p.beam_decode_path(None) == "pallas_kernel"
+    assert p.beam_decode_path(small) == "pallas_kernel"
+    n = p.PALLAS_GRAPH_MAX_STATES + 1
+    big = TokenTrie.from_tables(
+        np.full((n, 15), -1, np.int32), np.ones((n,), bool))
+    assert p.beam_decode_path(big) == "xla_scan"
+    monkeypatch.undo()
+
+    # a real decode counts the decision and stamps the transcription
+    paths = []
+    p.on_beam_path = paths.append
+    rng = np.random.default_rng(5)
+    samples = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    tr = p.process_batch_samples(samples)
+    assert tr.decode_path == "xla_scan"
+    assert p.decode_path_counts["xla_scan"] == 1
+    assert paths == ["xla_scan"]

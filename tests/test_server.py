@@ -167,8 +167,13 @@ def test_ws_stream_partials_and_complete():
         # send in 0.25 s chunks -> partials after each >=0.1s accumulation
         for i in range(0, len(pcm), 8000):
             await ws.send_bytes(pcm[i:i + 8000])
-        # collect a partial
-        msg = await asyncio.wait_for(ws.receive_json(), timeout=180)
+        # collect a partial (skipping slow-decode heartbeat frames, which
+        # carry no metadata — a cold CPU decode can exceed the keepalive
+        # period)
+        while True:
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=180)
+            if msg.get("message") != "processing":
+                break
         assert msg["status"] in ("ACTIVE", "COMPLETE")
         assert "transcription" in msg
         assert "audio_length_seconds" in msg["metadata"]
@@ -374,6 +379,91 @@ def test_ws_native_concurrent_streams_share_lanes():
         # lanes were released on finalize
         assert all(f is None for f in state.lane_engine.featurizers)
     run(with_client(make_native_state(), go))
+
+
+def test_native_metrics_expose_lane_engine():
+    """/metrics carries the lane-engine section in native mode, and it
+    counts after streaming (round-3 gap: native hot path was invisible —
+    batcher zeros under 16 live streams)."""
+    async def go(client):
+        resp = await client.get("/metrics")
+        m = await resp.json()
+        assert "lane_engine" in m
+        assert m["lane_engine"]["ticks"] == 0
+
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        await ws.send_bytes(_pcm_list(n=16000, seed=21))
+        await asyncio.wait_for(ws.receive_json(), timeout=60)
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+        while True:
+            raw = await asyncio.wait_for(ws.receive(), timeout=60)
+            if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                break
+            if json.loads(raw.data)["status"] == "COMPLETE":
+                break
+        await ws.close()
+
+        resp = await client.get("/metrics")
+        m = (await resp.json())["lane_engine"]
+        assert m["ticks"] >= 1
+        assert m["lanes_stepped_total"] >= 1
+        assert m["attaches"] >= 1
+        assert m["last_tick_ms"] > 0
+        assert m["n_lanes"] > 0
+    run(with_client(make_native_state(), go))
+
+
+def test_stream_heartbeat_during_slow_decode():
+    """A decode slower than the keepalive period emits ACTIVE
+    "processing" heartbeats carrying the last transcript, so clients
+    with receive timeouts don't abandon the session during cold-dispatch
+    spikes (round-3 native loadtest reconnect storm)."""
+    async def go(client):
+        state = client.app["state"]
+        # every decode is slow: patch BEFORE the stream session is built
+        # (IncrementalAsr captures the decode fn at construction)
+        import time as _t
+        orig = state.batcher.submit_from_thread
+
+        def slow(*a, **kw):
+            _t.sleep(0.4)
+            return orig(*a, **kw)
+        state.batcher.submit_from_thread = slow
+        try:
+            ws = await client.ws_connect("/v2/decode/stream/default")
+            await ws.send_bytes(_pcm_list(n=6400, seed=31))
+            got_heartbeat = False
+            while True:
+                msg = await asyncio.wait_for(ws.receive_json(), timeout=60)
+                if msg.get("message") == "processing":
+                    got_heartbeat = True
+                    assert msg["status"] == "ACTIVE"
+                    continue
+                assert msg["status"] == "ACTIVE"
+                break
+            await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+            await ws.close()
+            assert got_heartbeat
+        finally:
+            state.batcher.submit_from_thread = orig
+    run(with_client(make_state(keepalive_check_period_ms=50), go))
+
+
+def test_beam_mode_exposes_decode_path():
+    """Beam responses carry metadata.decode_path and /metrics counts the
+    kernel-vs-scan routing decisions."""
+    async def go(client):
+        pcm = _pcm_list(n=6400, seed=41)
+        resp = await client.post("/v2/decode/batch/default",
+                                 json={"audio_buffer": list(pcm)})
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["metadata"]["decode_path"] == "xla_scan"  # CPU backend
+        resp = await client.get("/metrics")
+        m = await resp.json()
+        assert m["beam_decode_paths"]["xla_scan"] >= 1
+    run(with_client(make_state(decoding_mode="beam", beam_width=2,
+                               compute_dtype="float32"), go))
 
 
 def test_deep_health_probe():

@@ -56,29 +56,49 @@ def _synth_stream_pcm(seed: int, seconds: float = 12.0) -> bytes:
 
 
 async def stream_client(session, url, stats, stop, synth_seed=None):
+    """One LONG-LIVED websocket per client: clips loop back-to-back in the
+    same connection (live-captioning usage), reconnecting only on error —
+    server-side session churn shows up as stats["reconnects"] instead of
+    being buried in by-design per-clip reconnects. Heartbeat frames
+    (message="processing", emitted during cold-dispatch spikes) keep the
+    session alive but are excluded from partial latency."""
     import aiohttp
     rng = np.random.default_rng()
     pcm = _synth_stream_pcm(synth_seed) if synth_seed is not None else None
+    stats.setdefault("reconnects", 0)
+    stats.setdefault("sessions", 0)
+    first = True
     while not stop.is_set():
         try:
             async with session.ws_connect(url) as ws:
-                n_chunks = (len(pcm) // 3200) if pcm is not None else 20
-                for ci in range(n_chunks):  # 100 ms chunks
-                    if stop.is_set():
-                        break
+                stats["sessions"] += 1
+                if not first:
+                    stats["reconnects"] += 1
+                first = False
+                ci = 0
+                while not stop.is_set():
                     if pcm is not None:
                         chunk = pcm[ci * 3200:(ci + 1) * 3200]
+                        ci = (ci + 1) % (len(pcm) // 3200)
                     else:
                         chunk = (rng.standard_normal(1600) * 3000) \
                             .astype("<i2").tobytes()
                     t0 = time.perf_counter()
                     await ws.send_bytes(chunk)
                     try:
-                        msg = await asyncio.wait_for(ws.receive(),
-                                                     timeout=10)
-                        if msg.type == aiohttp.WSMsgType.TEXT:
+                        # read until the real partial for this chunk
+                        # (skip keepalive heartbeats)
+                        while True:
+                            msg = await asyncio.wait_for(ws.receive(),
+                                                         timeout=10)
+                            if msg.type != aiohttp.WSMsgType.TEXT:
+                                raise ConnectionError(f"ws {msg.type}")
+                            d = json.loads(msg.data)
+                            if d.get("message") == "processing":
+                                continue
                             stats["partial"].append(
                                 (time.perf_counter() - t0, 200))
+                            break
                     except asyncio.TimeoutError:
                         pass
                     await asyncio.sleep(0.1)

@@ -59,9 +59,13 @@ async def drive(port: int, streams: int, duration: float) -> dict:
         "partials": len(lat),
         "partial_p50_ms": round(pct(lat, 50) * 1e3, 1),
         "partial_p95_ms": round(pct(lat, 95) * 1e3, 1),
+        # long-lived clients: sessions ≈ streams unless errors churn them
+        "client_sessions": stats.get("sessions", 0),
+        "client_reconnects": stats.get("reconnects", 0),
         "server_metrics": {k: metrics.get(k)
                            for k in ("active_streams", "total_streams",
-                                     "batcher") if k in metrics},
+                                     "batcher", "lane_engine")
+                           if k in metrics},
     }
 
 
