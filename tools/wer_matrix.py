@@ -43,6 +43,20 @@ def main() -> None:
     parser.add_argument("--manifest-dir", default="/tmp/wer_manifest")
     parser.add_argument("--configs", default=None,
                         help="comma list to restrict (names below)")
+    parser.add_argument("--b16-configs",
+                        default="bf16_pallas,int8_pallas,int8dec_pallas",
+                        help="configs ALSO run through the B=16 batched "
+                             "bucket — the headline lane-blocked decode "
+                             "kernel program (round-3 verdict: the "
+                             "quality artifact must see the program the "
+                             "bench runs; int8dec perturbs ~2/16 lanes "
+                             "ONLY at B=16). '' disables.")
+    parser.add_argument("--long-clips", type=int, default=6,
+                        help="also decode N 30 s concatenated clips "
+                             "(the reference's batch contract is up-to-"
+                             "30 s utterances, config.rs:55-57) through "
+                             "bf16_pallas; 0 disables")
+    parser.add_argument("--long-batch", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -97,18 +111,19 @@ def main() -> None:
                "preset": args.preset,
                "configs": {}}
 
-    for name, overrides in CONFIGS.items():
-        cfg = Config(audio_sec_buckets=[args.bucket_secs],
-                     batch_buckets=[args.batch], warmup_on_start=False,
+    def run_config(name, overrides, batch, bucket_secs, cfg_entries,
+                   cfg_waves):
+        cfg = Config(audio_sec_buckets=[bucket_secs],
+                     batch_buckets=[batch], warmup_on_start=False,
                      **overrides)
         pipe = AsrPipeline(model, params, vocab, cfg)
         total_err = total_words = 0
         tok_err = tok_all = 0
         t0 = time.time()
         beam = overrides.get("decoding_mode") == "beam"
-        for i in range(0, len(entries), args.batch):
-            grp = entries[i:i + args.batch]
-            grp_waves = waves[i:i + args.batch]
+        for i in range(0, len(cfg_entries), batch):
+            grp = cfg_entries[i:i + batch]
+            grp_waves = cfg_waves[i:i + batch]
             if beam:
                 res, fls, els = pipe.decode_beam_batch(grp_waves)
                 hyp_tokens = [
@@ -133,14 +148,65 @@ def main() -> None:
                 tok_err += terr
                 tok_all += len(ref_ids)
         wall = time.time() - t0
+        cfg_audio_s = sum(len(w) for w in cfg_waves) / 16000.0
         row = {"wer": round(total_err / max(total_words, 1), 4),
                "token_er": round(tok_err / max(tok_all, 1), 4),
-               "rtfx": round(audio_s / wall, 1),
-               "words": total_words, "tokens": tok_all}
+               "rtfx": round(cfg_audio_s / wall, 1),
+               "words": total_words, "tokens": tok_all,
+               "batch_bucket": batch,
+               "bucket_secs": bucket_secs}
         results["configs"][name] = row
-        print(f"{name:14s} wer={row['wer']:.4f} "
-              f"token_er={row['token_er']:.4f} rtfx={row['rtfx']}",
-              flush=True)
+        print(f"{name:20s} wer={row['wer']:.4f} "
+              f"token_er={row['token_er']:.4f} rtfx={row['rtfx']} "
+              f"(B={batch})", flush=True)
+
+    for name, overrides in CONFIGS.items():
+        run_config(name, overrides, args.batch, args.bucket_secs,
+                   entries, waves)
+
+    # -- the HEADLINE program: same configs through the B=16 batched
+    # bucket (padding lanes inactive), the exact lane-blocked decode
+    # kernel bench.py measures — quality artifacts must see the program
+    # the bench runs (round-3 verdict item 5)
+    if args.b16_configs:
+        for name in (c.strip() for c in args.b16_configs.split(",")):
+            if name in CONFIGS:
+                run_config(f"{name}_b16", CONFIGS[name], 16,
+                           args.bucket_secs, entries, waves)
+
+    # -- 30 s long-form clips (the reference's batch contract,
+    # config.rs:55-57): concatenated sentences, decoded through a 30 s
+    # bucket; measures the RoPE-coverage story on the checkpoint
+    if args.long_clips > 0:
+        from amira_rust_asr_server_tpu.testing.synthspeech import (
+            random_token_ids, synth_token_ids)
+        lrng = np.random.default_rng(20260818)
+        long_entries, long_waves = [], []
+        for _ in range(args.long_clips):
+            parts, ids, total = [], [], 0
+            while True:
+                s_ids = random_token_ids(lrng, 4, 18)
+                w = synth_token_ids(
+                    s_ids, noise=0.01,
+                    rate=float(lrng.uniform(0.85, 1.25)), rng=lrng)
+                if (total + len(w) > 480000
+                        or len(ids) + len(s_ids) > 180):
+                    break
+                parts.append(w)
+                ids.extend(s_ids)
+                total += len(w)
+            wave = np.concatenate(parts).astype(np.float32)
+            long_entries.append({
+                "text": vocab.decode_tokens(ids), "token_ids": ids})
+            long_waves.append(wave)
+        results["manifest"]["long_clips"] = len(long_waves)
+        results["manifest"]["long_audio_seconds"] = round(
+            sum(len(w) for w in long_waves) / 16000.0, 1)
+        for name in ("bf16_pallas", "int8_pallas"):
+            if name in CONFIGS:
+                run_config(f"{name}_long30s", CONFIGS[name],
+                           args.long_batch, 30.0, long_entries,
+                           long_waves)
 
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(results, f, indent=2)
