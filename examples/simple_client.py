@@ -70,7 +70,9 @@ async def run_stream(args, pcm: bytes) -> None:
                     if msg.type != aiohttp.WSMsgType.TEXT:
                         break
                     data = json.loads(msg.data)
-                    line = (f"[{data['status']}] "
+                    tag = (" (heartbeat)"
+                           if data.get("message") == "processing" else "")
+                    line = (f"[{data['status']}]{tag} "
                             f"{data['transcription'][:80]!r}")
                     print(line)
                     if data["status"] in ("COMPLETE", "ERROR"):
