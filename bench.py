@@ -169,7 +169,10 @@ def bench_batch(results: dict) -> None:
     # speech-like emission (~1-7 tokens/s at this seed).
     repo = os.path.dirname(os.path.abspath(__file__))
     ckpt = os.environ.get("ASR_BENCH_CKPT",
-                          os.path.join(repo, "model-repo", "large-synth"))
+                          os.path.join(repo, "model-repo", "large-synth-v2"))
+    if not os.path.isdir(ckpt) and "ASR_BENCH_CKPT" not in os.environ:
+        # older mixed-training tree (round-3 recipe) as fallback
+        ckpt = os.path.join(repo, "model-repo", "large-synth")
     if os.path.isdir(ckpt):
         params = model.load_checkpoint(os.path.abspath(ckpt), like=params)
         results["weights"] = "trained-synthspeech"
