@@ -132,9 +132,19 @@ class AsrPipeline:
         # phrases compiles once into a device-resident WEIGHTED token trie.
         # Line format: "phrase" or "phrase<TAB>log_weight" (e.g. unigram
         # log-probs) — the weighted-FSA analogue of k2's DECODING_GRAPH_PATH
-        # (ref: k2_decoder_backend.cc:63-253).
+        # (ref: k2_decoder_backend.cc:63-253). A path ending in
+        # .fst/.fst.txt/.fsttxt is instead parsed as an OpenFST-text
+        # decoding graph (the reference's actual DECODING_GRAPH_PATH asset
+        # format, ref: k2_decoder_backend.cc:96-117) via ops/fst_io.py —
+        # epsilon-removed + weight-exact determinized into the same trie.
         self.beam_graph = None
-        if cfg.beam_grammar_path:
+        if cfg.beam_grammar_path and cfg.beam_grammar_path.endswith(
+                (".fst", ".fst.txt", ".fsttxt")):
+            from ..ops.fst_io import token_trie_from_openfst_file
+            self.beam_graph = token_trie_from_openfst_file(
+                cfg.beam_grammar_path, self.model.config.vocab_size,
+                vocab=vocab)
+        elif cfg.beam_grammar_path:
             from ..ops.beam import TokenTrie
             phrases, weights, any_w = [], [], False
             with open(cfg.beam_grammar_path, "r", encoding="utf-8") as f:

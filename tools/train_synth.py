@@ -248,7 +248,11 @@ def main() -> None:
                    "two-formant grid)",
         "recipe": (f"python tools/train_synth.py --preset {args.preset} "
                    f"--steps {args.steps} --batch {args.batch} "
-                   f"--lr {args.lr} --seed {args.seed}"),
+                   f"--lr {args.lr} --warmup {args.warmup} "
+                   f"--seed {args.seed}"
+                   + (f" --mix-long {args.mix_long}" if args.mix_long else "")
+                   + (" --long-form" if args.long_form else "")
+                   + (" --remat" if args.remat else "")),
         "steps": args.steps,
         "held_out_exact_match": round(acc, 4),
         "held_out_token_error_rate": round(ter, 4),
