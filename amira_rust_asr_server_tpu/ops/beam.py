@@ -228,13 +228,59 @@ class BeamResult:
     n_best: Optional[List[List[Tuple[float, List[int]]]]] = None
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BeamCarry:
+    """Device-resident beam state carried across streaming chunks.
+
+    Exactly the :func:`beam_decode` scan carry, so seeding a chunk from a
+    ``BeamCarry`` continues the search bit-for-bit as if the chunks were
+    one utterance (tests/test_beam_stream.py locks this equivalence) —
+    the state-carry analogue of the greedy path's ``GreedyResult`` carry,
+    and the parity-plus over the reference's batch-only k2 beam
+    (ref: k2_decoder_backend.cc:63-253 decodes each request whole).
+    Token histories stay on host (:func:`backtrace_carry` re-parents them
+    each chunk); scores are cumulative log-probs and may be shifted by a
+    per-lane constant between chunks (ranking-invariant) to keep f32
+    headroom on long sessions.
+    """
+
+    scores: jax.Array     # [B, K] cumulative log-prob per hypothesis
+    lens: jax.Array       # [B, K] emitted-token counts
+    pred_out: jax.Array   # [B*K, P] prediction-net output (hyp-major)
+    state: object         # pred-net state pytree, leaves [L, B*K, ...]
+    last_token: jax.Array  # [B*K] last emitted token (blank at SOS)
+    g_state: jax.Array    # [B, K] decoding-graph state (0 = root)
+
+
+def beam_carry_init(pred_fn, init_state, blank_id: int, batch: int,
+                    beam_width: int) -> BeamCarry:
+    """Fresh beam carry for ``batch`` lanes: hypothesis 0 is the live
+    empty hypothesis (score 0), the rest are -inf placeholders."""
+    k = beam_width
+
+    def bc(x):
+        return jnp.repeat(x, k, axis=1)
+
+    state = jax.tree_util.tree_map(bc, init_state)
+    sos = jnp.full((batch * k,), blank_id, jnp.int32)
+    pred_out, state = pred_fn(sos, state)
+    return BeamCarry(
+        scores=jnp.full((batch, k), NEG_INF).at[:, 0].set(0.0),
+        lens=jnp.zeros((batch, k), jnp.int32),
+        pred_out=pred_out, state=state, last_token=sos,
+        g_state=jnp.zeros((batch, k), jnp.int32))
+
+
 def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
                 init_state, blank_id: int, *,
                 beam_width: int = DEFAULT_BEAM_WIDTH,
                 max_expansions: int = 3,
                 bias: Optional[jax.Array] = None,
                 vocab_size: Optional[int] = None,
-                graph: Optional[TokenTrie] = None) -> BeamTrace:
+                graph: Optional[TokenTrie] = None,
+                init_beam: Optional[BeamCarry] = None,
+                return_carry: bool = False):
     """Run the device-side beam scan. See module docstring.
 
     ``init_state`` leaves must be [L, B, ...] like greedy_decode's; they are
@@ -243,27 +289,25 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
     ``graph``: optional TokenTrie — label expansions are masked to
     trie-legal continuations and each hypothesis carries its graph state
     (k2 decoding-graph parity; blank/time-advance is always legal).
+
+    ``init_beam``: resume the search from a carried :class:`BeamCarry`
+    (streaming chunks) instead of the fresh single-empty-hypothesis
+    start; ``init_state`` is ignored then. With ``return_carry=True``
+    returns ``(trace, carry)`` where ``carry`` seeds the next chunk.
     """
     b, t_max, d_enc = enc.shape
     k = beam_width
     s_max = max_expansions
     enc_lens = enc_lens.astype(jnp.int32)
 
-    # broadcast state to B*K lanes (lane layout: b * K + k)
-    def bc(x):
-        # [L, B, ...] -> [L, B*K, ...]
-        reps = [1] * x.ndim
-        expanded = jnp.repeat(x, k, axis=1)
-        del reps
-        return expanded
-
-    state = jax.tree_util.tree_map(bc, init_state)
-    sos = jnp.full((b * k,), blank_id, jnp.int32)
-    pred_out, state = pred_fn(sos, state)            # [B*K, P]
-
-    scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
-    lens0 = jnp.zeros((b, k), jnp.int32)
-    g0 = jnp.zeros((b, k), jnp.int32)  # graph root
+    if init_beam is None:
+        init_beam = beam_carry_init(pred_fn, init_state, blank_id, b, k)
+    state = init_beam.state
+    pred_out = init_beam.pred_out
+    scores0 = init_beam.scores
+    lens0 = init_beam.lens
+    last0 = init_beam.last_token
+    g0 = init_beam.g_state
     bias_vec = (jnp.zeros((vocab_size,), jnp.float32)
                 if bias is None else bias)
 
@@ -398,11 +442,12 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
 
     t_indices = jnp.arange(t_max)
     enc_tb = jnp.swapaxes(enc, 0, 1)                   # [T, B, D]
-    init = (scores0, lens0, pred_out, state, sos, g0)
-    ((scores_f, lens_f, _, _, _, g_f),
+    init = (scores0, lens0, pred_out, state, last0, g0)
+    ((scores_f, lens_f, pred_f, state_f, last_f, g_f),
      (exp_parent, exp_token, pool_ps, pool_pk)) = \
         jax.lax.scan(frame_step, init, (enc_tb, t_indices))
 
+    raw_scores = scores_f
     if graph is not None:
         # strict FSA acceptance (k2 parity): the empty hypothesis is final
         # only if the start state is — otherwise a confident model's
@@ -417,10 +462,17 @@ def beam_decode(pred_fn, joint_fn, enc: jax.Array, enc_lens: jax.Array,
             graph.is_final[g_f] & (lens_f > 0), graph.final_weight[g_f], 0.0)
     else:
         pool_final = jnp.ones((b, k), bool)
-    return BeamTrace(pool_scores=scores_f, pool_lens=lens_f,
-                     exp_parent=exp_parent, exp_token=exp_token,
-                     pool_parent_s=pool_ps, pool_parent_k=pool_pk,
-                     pool_final=pool_final)
+    trace = BeamTrace(pool_scores=scores_f, pool_lens=lens_f,
+                      exp_parent=exp_parent, exp_token=exp_token,
+                      pool_parent_s=pool_ps, pool_parent_k=pool_pk,
+                      pool_final=pool_final)
+    if return_carry:
+        # raw scores WITHOUT the final-weight adjustment: finality is an
+        # end-of-utterance judgement, the carried search is mid-stream
+        carry = BeamCarry(scores=raw_scores, lens=lens_f, pred_out=pred_f,
+                          state=state_f, last_token=last_f, g_state=g_f)
+        return trace, carry
+    return trace
 
 
 # ---------------------------------------------------------------------------
@@ -485,6 +537,47 @@ def backtrace(trace: BeamTrace, enc_lens: np.ndarray, *,
 
     return BeamResult(tokens=tokens_out, counts=counts, scores=best_scores,
                       n_best=all_nbest if n_best > 1 else None)
+
+
+def backtrace_carry(trace: BeamTrace, enc_lens: np.ndarray
+                    ) -> Tuple[np.ndarray, List[List[List[int]]]]:
+    """Host-side re-parenting for streaming chunks: for EVERY pool
+    hypothesis, the chunk-local emissions and which chunk-START hypothesis
+    it descends from.
+
+    Returns ``(origins [B, K] int32, seqs[b][k] token lists)``: carried
+    token history after the chunk is ``hist2[k] = hist[origins[b, k]] +
+    seqs[b][k]``. No graph-finality demotion — mid-stream hypotheses are
+    legitimately mid-phrase; finality is judged once at end-of-stream by
+    :func:`backtrace`.
+    """
+    exp_parent = np.asarray(trace.exp_parent)   # [T, S, B, K]
+    exp_token = np.asarray(trace.exp_token)
+    pool_ps = np.asarray(trace.pool_parent_s)   # [T, B, K]
+    pool_pk = np.asarray(trace.pool_parent_k)
+    enc_lens = np.asarray(enc_lens)
+    b, k = trace.pool_scores.shape
+    origins = np.zeros((b, k), np.int32)
+    seqs: List[List[List[int]]] = []
+    for i in range(b):
+        lane: List[List[int]] = []
+        for hyp in range(k):
+            seq: List[int] = []
+            t, kk = int(enc_lens[i]) - 1, hyp
+            while t >= 0:
+                s = int(pool_ps[t, i, kk])
+                kk2 = int(pool_pk[t, i, kk])
+                while s > 0:
+                    seq.append(int(exp_token[t, s - 1, i, kk2]))
+                    kk2 = int(exp_parent[t, s - 1, i, kk2])
+                    s -= 1
+                kk = kk2
+                t -= 1
+            seq.reverse()
+            origins[i, hyp] = kk
+            lane.append(seq)
+        seqs.append(lane)
+    return origins, seqs
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,8 @@ class Transcription:
     # — surfaces the graph-size routing cliff (pipeline.py
     # PALLAS_GRAPH_MAX_STATES) so grammar users can diagnose latency
     decode_path: Optional[str] = None
+    # beam decodes: total log-prob of the winning hypothesis
+    score: Optional[float] = None
 
 
 @dataclasses.dataclass
