@@ -189,13 +189,18 @@ async def handle_batch(request: web.Request) -> web.Response:
 
 async def handle_stream(request: web.Request) -> web.StreamResponse:
     state: AppState = request.app["state"]
-    if state.config.decoding_mode == "beam":
-        # beam has no carried-stream semantics (documented limitation);
-        # reject loudly instead of silently decoding each chunk fresh
+    if state.config.decoding_mode == "beam" and not (
+            state.config.streaming_mode == "native"
+            and state.pipeline.model.config.causal):
+        # streaming beam needs carried hypotheses, which exist only in the
+        # native (causal cached-encoder) mode — the parity chunk+re-decode
+        # mode cannot carry a beam; reject loudly instead of silently
+        # decoding each chunk fresh
         return web.json_response(
             {"error": "unsupported_decoding_mode",
-             "message": "streaming requires decoding_mode=greedy; "
-                        "beam serves the batch endpoint only"},
+             "message": "beam streaming requires streaming_mode=native "
+                        "with a causal model; batch endpoint serves beam "
+                        "for non-native configurations"},
             status=400)
     ws = web.WebSocketResponse(heartbeat=None, max_msg_size=2 * C.MAX_WS_CHUNK_BYTES)
     await ws.prepare(request)

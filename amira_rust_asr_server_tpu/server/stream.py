@@ -123,6 +123,50 @@ class _LaneAdapter:
             self.lane = None
 
 
+class _BeamStreamAdapter:
+    """One WS session on a dedicated StreamingBeamSession (beam mode).
+
+    Streaming beam carries K hypotheses across chunks (parity-plus: the
+    reference's k2 beam is batch-only, k2_decoder_backend.cc:63-253).
+    Sessions are per-stream rather than lane-batched: beam state is K×
+    the greedy carry and the expected traffic mix is greedy-dominated.
+    Partials report the current BEST hypothesis — unlike greedy-native
+    partials they may retract when the beam leader changes (clients
+    receive the full transcript each time, so retraction is
+    representable in the wire protocol).
+    """
+
+    def __init__(self, state: AppState):
+        from ..runtime.beam_stream import StreamingBeamSession
+
+        self.state = state
+        cfg = state.config
+        self._samples = 0
+        self.session = StreamingBeamSession(
+            state.pipeline.model, state.pipeline.params,
+            state.pipeline.vocab,
+            chunk_frames=cfg.native_chunk_frames,
+            norm=cfg.native_norm,
+            beam_width=cfg.beam_width,
+            graph=state.pipeline.beam_graph)
+
+    def process_chunk(self, audio_bytes: bytes) -> str:
+        from ..audio import pcm16_bytes_to_f32
+        samples = pcm16_bytes_to_f32(audio_bytes)
+        self._samples += samples.shape[0]
+        return self.session.feed(samples)
+
+    def finalize(self) -> str:
+        return self.session.end().text
+
+    def audio_length(self) -> float:
+        from ..constants import SAMPLE_RATE
+        return self._samples / SAMPLE_RATE
+
+    def release(self) -> None:
+        pass  # per-stream session: garbage-collected with the processor
+
+
 class StreamProcessor:
     def __init__(self, ws: web.WebSocketResponse, state: AppState,
                  stream_id: Optional[str] = None):
@@ -130,7 +174,11 @@ class StreamProcessor:
         self.state = state
         self.stream_id = stream_id or uuid.uuid4().hex
         cfg = state.config
-        if (cfg.streaming_mode == "native"
+        if (cfg.decoding_mode == "beam" and cfg.streaming_mode == "native"
+                and state.pipeline.model.config.causal):
+            # streaming beam: carried hypotheses across chunks
+            self.incremental = _BeamStreamAdapter(state)
+        elif (cfg.streaming_mode == "native"
                 and state.pipeline.model.config.causal):
             # native mode: all streams share the lane engine — one fused
             # chunk-step program advances every ready lane per tick, and

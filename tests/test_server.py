@@ -381,6 +381,53 @@ def test_ws_native_concurrent_streams_share_lanes():
     run(with_client(make_native_state(), go))
 
 
+def make_native_beam_state():
+    model = Transducer.from_preset("tiny-streaming")
+    params = model.init(jax.random.PRNGKey(0))
+    vocab = Vocabulary.from_map({i: f"▁w{i}" for i in range(15)})
+    cfg = Config(audio_sec_buckets=[0.5, 2.0], batch_buckets=[1, 2],
+                 streaming_mode="native", native_chunk_frames=16,
+                 native_norm="none", decoding_mode="beam", beam_width=4,
+                 compute_dtype="float32")
+    pipeline = AsrPipeline(model, params, vocab, cfg)
+    return AppState(pipeline, vocab, cfg)
+
+
+def test_ws_native_beam_streaming():
+    """decoding_mode=beam + streaming_mode=native serves WS sessions with
+    carried beam hypotheses (parity-plus: the reference's k2 beam is
+    batch-only). Partials may retract when the beam leader changes, so
+    only status/protocol invariants are asserted, not append-only."""
+    async def go(client):
+        from amira_rust_asr_server_tpu.server.stream import \
+            _BeamStreamAdapter
+        ws = await client.ws_connect("/v2/decode/stream/default")
+        state = client.app["state"]
+        pcm = _pcm_list(n=16000, seed=7)
+        for i in range(0, len(pcm), 8000):
+            await ws.send_bytes(pcm[i:i + 8000])
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=60)
+            assert msg["status"] == "ACTIVE"
+            assert isinstance(msg["transcription"], str)
+        # the live processor rides the beam adapter, not the lane engine
+        procs = list(state.active_streams.values())
+        assert procs and all(isinstance(p.incremental, _BeamStreamAdapter)
+                             for p in procs)
+        await ws.send_bytes(bytes([C.CONTROL_BYTE_END]))
+        got_complete = False
+        while True:
+            raw = await asyncio.wait_for(ws.receive(), timeout=60)
+            if raw.type.name in ("CLOSE", "CLOSED", "CLOSING"):
+                break
+            data = json.loads(raw.data)
+            if data["status"] == "COMPLETE":
+                got_complete = True
+                break
+        assert got_complete
+        await ws.close()
+    run(with_client(make_native_beam_state(), go))
+
+
 def test_native_metrics_expose_lane_engine():
     """/metrics carries the lane-engine section in native mode, and it
     counts after streaming (round-3 gap: native hot path was invisible —
