@@ -14,6 +14,9 @@ from amira_rust_asr_server_tpu.runtime import AsrPipeline
 from amira_rust_asr_server_tpu.runtime.batcher import ContinuousBatcher
 from amira_rust_asr_server_tpu.vocab import Vocabulary
 
+# compile-heavy integration tier: run with the full suite, skip via -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipeline():

@@ -129,6 +129,7 @@ def _greedy_path_score(model, params, enc, res):
     return score
 
 
+@pytest.mark.slow
 def test_beam_score_at_least_greedy(tiny):
     model, params = tiny
     rng = np.random.default_rng(5)
@@ -142,6 +143,7 @@ def test_beam_score_at_least_greedy(tiny):
     assert beam.scores[0] >= g_score - 1e-3
 
 
+@pytest.mark.slow
 def test_bias_changes_output(tiny):
     model, params = tiny
     cfg = model.config
@@ -178,6 +180,7 @@ def test_make_bias_vector():
     assert bias[5:].sum() == 0
 
 
+@pytest.mark.slow
 def test_batched_beam_matches_single(tiny):
     """Beam over a 2-lane batch must equal per-utterance beam decodes."""
     import numpy as _np

@@ -293,6 +293,7 @@ def test_from_tables_arbitrary_fsa():
     assert not plain.weighted
 
 
+@pytest.mark.slow
 def test_graph_weights_flip_the_winner():
     """Acoustics prefer token 0; the graph weight on phrase [1] outweighs
     the acoustic gap, so the weighted search must return [1] — the k2
@@ -444,6 +445,7 @@ def digits():
 
 
 @needs_digits
+@pytest.mark.slow
 def test_grammar_restricts_digits_model(digits):
     from amira_rust_asr_server_tpu.ops import log_mel_features
     from amira_rust_asr_server_tpu.testing import synth_digits
@@ -478,6 +480,7 @@ def test_grammar_restricts_digits_model(digits):
 
 
 @needs_digits
+@pytest.mark.slow
 def test_pipeline_grammar_path_config(digits, tmp_path):
     from amira_rust_asr_server_tpu.config import Config
     from amira_rust_asr_server_tpu.runtime import AsrPipeline
@@ -551,6 +554,7 @@ def test_pipeline_weighted_grammar_file(digits, tmp_path):
     assert tr.text == "six"
 
 
+@pytest.mark.slow
 def test_grammar_file_rejects_junk_weight(tmp_path):
     """'phrase<TAB>non-number' is a config error, not a phrase that
     happens to contain a tab (advisor round-3 finding)."""

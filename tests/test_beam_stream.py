@@ -175,6 +175,7 @@ def _bias(cfg, boosts):
     return jnp.asarray(b)
 
 
+@pytest.mark.slow
 def test_session_feed_size_invariance(causal_model, rng):
     model, params, vocab = causal_model
     bias = _bias(model.config, {2: 8.0, 5: 7.5})
@@ -192,6 +193,7 @@ def test_session_feed_size_invariance(causal_model, rng):
     assert len(results[0]) > 0  # non-vacuous: the beam really emits
 
 
+@pytest.mark.slow
 def test_session_matches_batch_beam(causal_model, rng):
     """End-of-stream best hypothesis == the batch beam decode over the
     same chunked causal encoder outputs (same chunk size, norm off)."""
@@ -265,6 +267,7 @@ def test_session_empty_stream(causal_model):
     assert tr.text == ""
 
 
+@pytest.mark.slow
 def test_session_graph_constrains_stream(causal_model, rng):
     """A decoding graph rides the streaming beam: emissions stay
     graph-legal and the end-of-stream winner is a complete phrase."""

@@ -1,6 +1,8 @@
 """Orbax checkpoint roundtrip (SURVEY §5 checkpoint/resume: model weights
 via orbax; stream state is reconstructible, never checkpointed)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +22,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_drives_identical_decode(tmp_path):
     from amira_rust_asr_server_tpu.ops.greedy import greedy_decode_transducer
     model = Transducer.from_preset("tiny")

@@ -26,8 +26,12 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 CKPT = REPO / "model-repo" / "tiny-digits"
 VOCAB = REPO / "model-repo" / "tiny-digits-vocab.txt"
 
-pytestmark = pytest.mark.skipif(
-    not CKPT.exists(), reason="tiny-digits checkpoint not present")
+pytestmark = [
+    pytest.mark.skipif(not CKPT.exists(),
+                       reason="tiny-digits checkpoint not present"),
+    # compile-heavy integration tier (orbax restore + e2e decodes)
+    pytest.mark.slow,
+]
 
 _CACHE = {}
 

@@ -38,6 +38,7 @@ def solo_tokens(model, params, vocab, wave):
     return sess.end().tokens
 
 
+@pytest.mark.slow
 def test_single_lane_matches_solo_session(setup):
     model, params, vocab = setup
     wave = _wave(0)
@@ -55,6 +56,7 @@ def test_single_lane_matches_solo_session(setup):
     assert eng.tokens[lane] == want
 
 
+@pytest.mark.slow
 def test_concurrent_lanes_independent(setup):
     model, params, vocab = setup
     waves = [_wave(s) for s in (1, 2, 3)]
@@ -75,6 +77,7 @@ def test_concurrent_lanes_independent(setup):
         assert eng.tokens[lane] == want
 
 
+@pytest.mark.slow
 def test_staggered_start_and_lane_reuse(setup):
     model, params, vocab = setup
     w1, w2 = _wave(4), _wave(5)

@@ -15,6 +15,8 @@ unit-tested and valgrind is suggested for manual runs, ref:
 README.md:463-464) with a Python-native tool instead.
 """
 
+import pytest
+
 import asyncio
 import base64
 import gc
@@ -33,6 +35,9 @@ from amira_rust_asr_server_tpu.server.state import AppState
 from amira_rust_asr_server_tpu.vocab import Vocabulary
 
 import jax
+
+# compile-heavy integration tier: run with the full suite, skip via -m 'not slow'
+pytestmark = pytest.mark.slow
 
 
 def make_state() -> AppState:

@@ -28,6 +28,9 @@ from amira_rust_asr_server_tpu.runtime.lane_engine import StreamingLaneEngine
 from amira_rust_asr_server_tpu.runtime.native_stream import NativeStreamSession
 from amira_rust_asr_server_tpu.vocab import Vocabulary
 
+# compile-heavy integration tier: run with the full suite, skip via -m 'not slow'
+pytestmark = pytest.mark.slow
+
 DUR_S = 185  # >= 3 minutes of audio
 MAX_TOTAL = C.MAX_TOTAL_TOKENS  # 200, the reference's per-call budget
 

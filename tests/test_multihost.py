@@ -8,9 +8,14 @@ entry point); this test just asserts it completes and that both processes
 agree on the replicated loss.
 """
 
+import pytest
+
 import pathlib
 import subprocess
 import sys
+
+# compile-heavy integration tier: run with the full suite, skip via -m 'not slow'
+pytestmark = pytest.mark.slow
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 

@@ -56,6 +56,7 @@ def _run_kernel(model, cfg, params, enc_pre, enc_lens, beam, s_max, bias):
 
 
 @pytest.mark.parametrize("bias_on", [False, True])
+@pytest.mark.slow
 def test_kernel_matches_xla_beam(bias_on):
     model, cfg, params, enc_pre, enc_lens = _setup()
     bias = None
@@ -88,6 +89,7 @@ def test_kernel_matches_xla_beam(bias_on):
     np.testing.assert_allclose(g.scores, w.scores, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_matches_xla_beam_wider():
     """Larger beam + 3 expansions + uneven lengths."""
     model, cfg, params, enc_pre, enc_lens = _setup(seed=3, b=3, t=9)
@@ -128,6 +130,7 @@ def test_pipeline_kernel_wiring_matches_xla():
 
 
 @pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.slow
 def test_kernel_graph_constraint_matches_xla(weighted):
     """Decoding-graph-constrained kernel == XLA beam: legality masking,
     arc weights during pruning, graph-state advance, strict finality +
@@ -177,6 +180,7 @@ def test_kernel_graph_constraint_matches_xla(weighted):
     np.testing.assert_allclose(g.scores, w.scores, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_resident_beam_tokens_match_on_trained_checkpoint():
     """int8-resident LSTM weights (config.int8_decode_weights) in the beam
     kernel: on a TRAINED checkpoint the top-1 transcript must match the

@@ -168,6 +168,7 @@ def test_quantize_pred_lstm_roundtrip(tiny):
             assert np.all(err <= s[None, :] * 0.5 + 1e-9)
 
 
+@pytest.mark.slow
 def test_quant_kernel_tokens_match_f32_on_trained_checkpoint():
     """On a TRAINED checkpoint (realistic logit margins) the int8-resident
     kernel must produce token-identical transcripts to the f32 XLA loop.

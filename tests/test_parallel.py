@@ -12,6 +12,9 @@ from amira_rust_asr_server_tpu.parallel import (TrainBatch, init_training,
                                                 make_train_step,
                                                 shard_params)
 
+# compile-heavy integration tier: run with the full suite, skip via -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model():

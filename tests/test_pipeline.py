@@ -100,10 +100,12 @@ def test_max_total_budget_is_per_decode_call(pipeline):
     assert st.tokens_emitted == sum(per_chunk)  # session statistic intact
 
 
+@pytest.mark.slow
 def test_warmup_compiles(pipeline):
     assert pipeline.warmup(batch_sizes=[1], secs=[0.5]) == 1
 
 
+@pytest.mark.slow
 def test_beam_mode_pipeline():
     model = Transducer.from_preset("tiny")
     params = model.init(jax.random.PRNGKey(0))

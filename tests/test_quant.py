@@ -70,6 +70,7 @@ def test_act_quant_per_row():
     assert int(jnp.max(jnp.abs(xq[1]))) == 127
 
 
+@pytest.mark.slow
 def test_encoder_quant_close_and_pytree_identical():
     cfg_q = dataclasses.replace(TINY, quant_int8=True)
     model = Transducer(TINY)
@@ -116,6 +117,7 @@ def test_pallas_quant_matmul_interpret_matches_xla():
     not os.path.isdir(os.path.join(os.path.dirname(__file__), "..",
                                    "model-repo", "tiny-digits")),
     reason="digits checkpoint asset missing")
+@pytest.mark.slow
 def test_int8_pipeline_keeps_golden_transcripts():
     """The served text must survive quantization exactly (argmax decode on
     the trained digits model has decisive margins)."""

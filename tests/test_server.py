@@ -160,6 +160,7 @@ def test_reset_batch_count():
 # ---------------------------------------------------------------------------
 # WebSocket streaming
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_ws_stream_partials_and_complete():
     async def go(client):
         ws = await client.ws_connect("/v2/decode/stream/default")
@@ -193,6 +194,7 @@ def test_ws_stream_partials_and_complete():
     run(with_client(make_state(), go))
 
 
+@pytest.mark.slow
 def test_ws_end_error_frame_parity():
     """With end_error_frame_parity=True the END control byte produces the
     reference's exact wire sequence: an ERROR-status frame ("Server error:
@@ -322,6 +324,7 @@ def make_native_state():
     return AppState(pipeline, vocab, cfg)
 
 
+@pytest.mark.slow
 def test_ws_native_streaming_mode():
     async def go(client):
         ws = await client.ws_connect("/v2/decode/stream/default")
@@ -347,6 +350,7 @@ def test_ws_native_streaming_mode():
     run(with_client(make_native_state(), go))
 
 
+@pytest.mark.slow
 def test_ws_native_concurrent_streams_share_lanes():
     async def go(client):
         state = client.app["state"]
@@ -393,6 +397,7 @@ def make_native_beam_state():
     return AppState(pipeline, vocab, cfg)
 
 
+@pytest.mark.slow
 def test_ws_native_beam_streaming():
     """decoding_mode=beam + streaming_mode=native serves WS sessions with
     carried beam hypotheses (parity-plus: the reference's k2 beam is
@@ -428,6 +433,7 @@ def test_ws_native_beam_streaming():
     run(with_client(make_native_beam_state(), go))
 
 
+@pytest.mark.slow
 def test_native_metrics_expose_lane_engine():
     """/metrics carries the lane-engine section in native mode, and it
     counts after streaming (round-3 gap: native hot path was invisible —
@@ -460,6 +466,7 @@ def test_native_metrics_expose_lane_engine():
     run(with_client(make_native_state(), go))
 
 
+@pytest.mark.slow
 def test_stream_heartbeat_during_slow_decode():
     """A decode slower than the keepalive period emits ACTIVE
     "processing" heartbeats carrying the last transcript, so clients

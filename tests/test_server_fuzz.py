@@ -16,6 +16,7 @@ sys.path.insert(0, "tests")
 from test_server import make_state, run, with_client  # noqa: E402
 
 
+@pytest.mark.slow
 def test_ws_random_frames_never_crash_server():
     """Random garbage frames either produce a JSON response or a clean
     error frame — the server must keep serving afterwards."""
@@ -63,6 +64,7 @@ def test_rate_limiter_window():
     assert not rl.check()  # 6th in window rejected
 
 
+@pytest.mark.slow
 def test_prometheus_exposition():
     async def go(client):
         resp = await client.get("/metrics")
@@ -211,6 +213,7 @@ def test_prometheus_compile_counter_moves():
     run(with_client(state, go))
 
 
+@pytest.mark.slow
 def test_batch_concurrent_mixed_valid_invalid():
     async def go(client):
         rng = np.random.default_rng(3)

@@ -27,6 +27,7 @@ def _feats(rng, t, n_mels):
     return jnp.asarray(rng.standard_normal((1, n_mels, t)), jnp.float32)
 
 
+@pytest.mark.slow
 def test_chunked_equals_full(causal_tiny):
     model, params = causal_tiny
     cfg = model.config
@@ -50,6 +51,7 @@ def test_chunked_equals_full(causal_tiny):
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_chunk_size_invariance(causal_tiny):
     """Different chunkings must produce identical encodings."""
     model, params = causal_tiny
@@ -82,6 +84,7 @@ def test_cache_pos_advances(causal_tiny):
     assert int(cache.pos[0]) == 4  # 16 mel frames / subsampling 4
 
 
+@pytest.mark.slow
 def test_streaming_end_to_end_greedy(causal_tiny):
     """Chunked encode + carried greedy state == one-shot decode."""
     model, params = causal_tiny
@@ -129,6 +132,7 @@ def test_jit_compatible(causal_tiny):
     assert enc2.shape == (1, 4, cfg.d_enc)
 
 
+@pytest.mark.slow
 def test_layerscale_chunked_equals_full():
     """LayerScale gains (deep-stack trainability, presets.ModelConfig.
     layerscale) must stream exactly like they batch; ls=0 keeps the
