@@ -147,6 +147,12 @@ def main() -> None:
             print(f"checkpoint @ step {i} -> {ckpt}", flush=True)
 
     # -- held-out eval: exact token match + token error rate ---------------
+    # Eval audio MUST use the TRAINING noise level: the round-5 postmortem
+    # measured exact-match 31/32 (TER 0.27%) at the training noise=0.02 vs
+    # 19/32 (TER 5.45%) at a hard-coded 0.005 on the SAME checkpoint and
+    # utterances — cleaner-than-trained audio shifts the log-mel noise
+    # floor in the inter-token gaps out of distribution, so the old
+    # mismatch systematically understated every checkpoint it recorded.
     rng = np.random.default_rng(args.seed + 4321)
 
     @jax.jit
@@ -160,7 +166,7 @@ def main() -> None:
     tok_err = tok_all = 0
     for _ in range(args.eval_utts):
         ids = random_token_ids(rng, args.min_len, args.max_len)
-        wave = synth_token_ids(ids, noise=0.005,
+        wave = synth_token_ids(ids, noise=args.noise,
                                rate=float(rng.uniform(0.85, 1.25)), rng=rng)
         audio = np.zeros((1, args.audio_bucket), np.float32)
         audio[0, :len(wave)] = wave
@@ -207,7 +213,7 @@ def main() -> None:
             while True:
                 s_ids = random_token_ids(lrng, args.min_len, args.max_len)
                 w = synth_token_ids(
-                    s_ids, noise=0.005,
+                    s_ids, noise=args.noise,
                     rate=float(lrng.uniform(0.85, 1.25)), rng=lrng)
                 if total + len(w) > long_bucket or len(ids) + len(s_ids) > 224:
                     break
