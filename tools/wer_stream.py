@@ -80,7 +80,9 @@ def main() -> None:
                         help="utterances through the (B=1) streaming "
                              "beam session; 0 disables")
     parser.add_argument("--beam-width", type=int, default=10)
-    parser.add_argument("--lanes", type=int, default=16)
+    # 64 matches bench.py's streaming segment so the lane-engine chunk
+    # program is a .jax_cache hit instead of a fresh remote compile
+    parser.add_argument("--lanes", type=int, default=64)
     parser.add_argument("--chunk-frames", type=int, default=64)
     parser.add_argument("--manifest-dir", default="/tmp/wer_stream_manifest")
     parser.add_argument("--out", default="STREAMWER_r05.json")
