@@ -140,6 +140,10 @@ class Config:
 
     # -- platform/ops knobs (parity names kept where meaningful) ------------
     enable_platform_optimizations: bool = True
+    # partition host cores between device-dispatch / IO / session threads
+    # (utils/affinity.py; ref: affinity_management.rs use_thread_pinning,
+    # default off there too). No-op on hosts under 4 cores.
+    enable_cpu_affinity: bool = False
     metrics_backend: str = "json"  # "json" | "prometheus"
     otel_endpoint: Optional[str] = None
 

@@ -421,6 +421,10 @@ async def run_server(state: AppState, host: Optional[str] = None,
                        port or cfg.server_port)
     await site.start()
     state.shutdown.install_signal_handlers()
+    if state.affinity_plan and state.affinity_plan.enabled:
+        # the event loop thread is the IO pool of the plan
+        from ..utils.affinity import ThreadType, set_thread_affinity
+        set_thread_affinity(state.affinity_plan.cores_for(ThreadType.IO))
     log.info("serving on %s:%s", host or cfg.server_host,
              port or cfg.server_port)
     await state.shutdown.wait_for_shutdown()

@@ -67,17 +67,36 @@ class AppState:
         self.breaker = CircuitBreaker(
             excluded_exceptions=(CapacityExceededError,))
         self.shutdown = GracefulShutdown()
+        # optional host-core partitioning: dedicate a core to the device
+        # feeder, keep sessions off it (ref: affinity_management.rs — the
+        # reference's pools take the same thread-type split)
+        from ..utils.affinity import AffinityPlan, ThreadType, make_initializer
+        self.affinity_plan = None
+        if (self.config.enable_platform_optimizations
+                and self.config.enable_cpu_affinity):
+            self.affinity_plan = AffinityPlan.plan()
+            from ..reliability import get_logger
+            get_logger("asr.affinity").info(
+                "affinity plan", extra={"fields": {
+                    "enabled": self.affinity_plan.enabled,
+                    "reason": self.affinity_plan.reason,
+                    "assignments": {t.value: list(c) for t, c in
+                                    self.affinity_plan.assignments.items()},
+                }})
+        _plan = self.affinity_plan or AffinityPlan(False, "affinity off")
         # single dispatch thread: XLA executions for one chip serialize
         # anyway; a second thread only adds contention. IO stays on the
         # event loop (the reference's io/inference runtime split).
         self.inference_executor = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="device-dispatch")
+            max_workers=1, thread_name_prefix="device-dispatch",
+            initializer=make_initializer(_plan, ThreadType.DISPATCH))
         # session threads run per-stream CPU work (weaving, buffering) and
         # block on the batcher while their chunk rides a shared device
         # batch — one thread per admissible stream
         self.session_executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=self.config.max_concurrent_streams + 2,
-            thread_name_prefix="stream-session")
+            thread_name_prefix="stream-session",
+            initializer=make_initializer(_plan, ThreadType.SESSION))
         from ..runtime.batcher import ContinuousBatcher
         self.batcher = ContinuousBatcher(pipeline, self.inference_executor)
 

@@ -1,5 +1,8 @@
 """Cross-cutting utilities: platform probe, async patterns."""
 
+from .affinity import (AffinityPlan, CpuTopology, ThreadType,
+                       make_initializer, recommended_allocation_size,
+                       set_thread_affinity)
 from .async_patterns import (AsyncTaskManager, ErrorRecoveryManager,
                              PerformanceMonitor, Timer)
 from .platform import (CloudInfo, DeviceTopology, HostInfo, PlatformInit,
@@ -11,4 +14,6 @@ __all__ = [
     "PlatformInit", "HostInfo", "DeviceTopology", "CloudInfo",
     "ErrorRecoveryManager", "AsyncTaskManager", "PerformanceMonitor",
     "Timer",
+    "AffinityPlan", "CpuTopology", "ThreadType", "make_initializer",
+    "set_thread_affinity", "recommended_allocation_size",
 ]

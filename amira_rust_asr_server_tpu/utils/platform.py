@@ -6,9 +6,11 @@ init.rs): probe the host OS + accelerator topology, detect the cloud
 environment from GCE metadata (zero-egress safe: short timeout, graceful
 fallback), derive effective settings, and validate at startup.
 
-The reference's NUMA/affinity machinery is deliberately reduced: on a TPU
-VM the host's job is feeding the chip, and XLA's runtime owns placement;
-what matters is chip/ICI topology (jax.devices) and process/mesh layout.
+The reference's NUMA/affinity machinery lives in utils/affinity.py
+(topology probe, thread-type core partitioning, allocation alignment),
+sized for the TPU feeder model: on a TPU VM the host's job is feeding
+the chip, and XLA's runtime owns device placement; what matters is
+chip/ICI topology (jax.devices) and process/mesh layout.
 """
 
 from __future__ import annotations
