@@ -87,18 +87,23 @@ class Transducer:
 
     # -- checkpoint io ------------------------------------------------------
     def save_checkpoint(self, path: str, params: Params) -> None:
+        import os
+
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckpt:
-            ckpt.save(path, params, force=True)
+            # orbax rejects relative paths; resolve so callers don't have to
+            ckpt.save(os.path.abspath(path), params, force=True)
 
     def load_checkpoint(self, path: str,
                         like: Optional[Params] = None) -> Params:
+        import os
+
         import orbax.checkpoint as ocp
         if like is None:
             like = jax.eval_shape(
                 lambda: self.init(jax.random.PRNGKey(0)))
         with ocp.StandardCheckpointer() as ckpt:
-            return ckpt.restore(path, like)
+            return ckpt.restore(os.path.abspath(path), like)
 
     def param_count(self, params: Params) -> int:
         return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
