@@ -8,6 +8,7 @@ work here) and for its three Triton-delegated model calls.
 from .beam import (BeamResult, TokenTrie, beam_decode,
                    beam_decode_transducer,
                    make_bias_vector)
+from .ctc import ctc_greedy_decode, ctc_loss
 from .features import log_mel_features
 from .greedy import GreedyResult, greedy_decode, greedy_decode_transducer
 from .mel import mel_filterbank, num_frames, windowed_dft_basis
@@ -20,5 +21,6 @@ __all__ = [
     "beam_decode", "beam_decode_transducer", "BeamResult",
     "TokenTrie",
     "make_bias_vector", "rnnt_loss", "transducer_loss",
+    "ctc_loss", "ctc_greedy_decode",
     "encode_chunk", "init_encoder_cache", "EncoderCache",
 ]

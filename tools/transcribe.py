@@ -38,6 +38,43 @@ def load_wav(path: str) -> np.ndarray:
         return (x / 32768.0).astype(np.float32)
 
 
+def build_ctc(args):
+    """CTC family: direct fused forward+decode, no pipeline needed."""
+    from amira_rust_asr_server_tpu.models import CTCModel
+    from amira_rust_asr_server_tpu.ops import log_mel_features
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+    import jax
+    import jax.numpy as jnp
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    model = CTCModel.from_preset(args.preset)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        params = model.load_checkpoint(args.checkpoint, like=params)
+    vocab = Vocabulary.load(args.vocab)
+
+    @jax.jit
+    def run(params, audio, lens):
+        feats, feat_lens = log_mel_features(
+            audio, lens, n_mels=model.config.n_mels)
+        return model.decode_greedy(params, feats, feat_lens)
+
+    class _CtcRunner:
+        def process_batch_samples(self, samples):
+            audio = jnp.asarray(samples)[None, :]
+            lens = jnp.asarray([samples.shape[0]], jnp.int32)
+            toks, counts = run(params, audio, lens)
+            ids = [int(t) for t in np.asarray(toks)[0][:int(counts[0])]]
+
+            class _T:  # minimal Transcription-alike for main()'s needs
+                text = vocab.decode_tokens(ids)
+                tokens = ids
+            return _T()
+
+    return _CtcRunner()
+
+
 def build_pipeline(args):
     from amira_rust_asr_server_tpu.config import Config
     from amira_rust_asr_server_tpu.models import Transducer
@@ -71,6 +108,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("files", nargs="+", help="16 kHz 16-bit PCM WAV files")
     p.add_argument("--preset", default="large")
+    p.add_argument("--family", choices=["transducer", "ctc"],
+                   default="transducer")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--vocab", default="model-repo/vocab.txt")
     p.add_argument("--backend", choices=["tpu", "cpu"], default="tpu")
@@ -85,7 +124,8 @@ def main(argv=None) -> int:
                    help="one JSON object per file on stdout")
     args = p.parse_args(argv)
 
-    pipeline = build_pipeline(args)
+    pipeline = build_ctc(args) if args.family == "ctc" \
+        else build_pipeline(args)
     rc = 0
     for path in args.files:
         try:
