@@ -217,3 +217,30 @@ def test_remat_training_matches_no_remat():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_ctc_tp_sharded_matches_unsharded():
+    """The CTC family rides the same structural TP shardings: fused
+    forward+greedy-collapse with sharded params == unsharded, token for
+    token (the head [d_enc, V] is column-parallel)."""
+    from amira_rust_asr_server_tpu.models import CTCModel
+
+    model = CTCModel.from_preset("tiny")
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 2, "model": 4})
+    sh = make_param_shardings(mesh, params)
+    # tiny head [d_enc=64, V=16]: d_out < d_in -> row-parallel on d_enc
+    assert sh["head"]["w"].spec[0] == "model"
+
+    rng = np.random.default_rng(12)
+    cfg = model.config
+    feats = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 64)) * 0.3,
+                        jnp.float32)
+    lens = jnp.array([64, 40], jnp.int32)
+
+    t_plain, c_plain = jax.jit(model.decode_greedy)(params, feats, lens)
+    sharded = shard_params(mesh, params)
+    with mesh:
+        t_tp, c_tp = jax.jit(model.decode_greedy)(sharded, feats, lens)
+    np.testing.assert_array_equal(np.asarray(c_plain), np.asarray(c_tp))
+    np.testing.assert_array_equal(np.asarray(t_plain), np.asarray(t_tp))
