@@ -6,12 +6,12 @@ see SURVEY.md §2.9 for the mapping.
 
 from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh,
                    make_param_shardings, replicated, shard_params)
-from .train import (TrainBatch, init_training, loss_fn, make_optimizer,
-                    make_train_step)
+from .train import (TrainBatch, ctc_loss_fn, init_training, loss_fn,
+                    make_optimizer, make_train_step)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "make_param_shardings",
     "data_sharding", "replicated", "shard_params",
     "TrainBatch", "make_optimizer", "make_train_step", "init_training",
-    "loss_fn",
+    "loss_fn", "ctc_loss_fn",
 ]

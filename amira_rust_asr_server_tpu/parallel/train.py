@@ -46,18 +46,34 @@ def loss_fn(model: Transducer, params, batch: TrainBatch) -> jax.Array:
     return losses.sum() / denom
 
 
-def make_train_step(model: Transducer, optimizer,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+def ctc_loss_fn(model, params, batch: TrainBatch) -> jax.Array:
+    """CTC-family loss with the same per-label normalization as the
+    transducer's, so learning rates transfer between families."""
+    from ..ops.ctc import ctc_loss
+    feats, feat_lens = log_mel_features(
+        batch.audio, batch.audio_lens, n_mels=model.config.n_mels)
+    enc, enc_lens = model.encode(params, feats, feat_lens)
+    losses = ctc_loss(model.log_probs(params, enc), enc_lens,
+                      batch.labels, batch.label_lens,
+                      model.config.blank_id)
+    denom = jnp.maximum(batch.label_lens.sum(), 1).astype(losses.dtype)
+    return losses.sum() / denom
+
+
+def make_train_step(model, optimizer, mesh: Optional[Mesh] = None,
+                    donate: bool = True, loss=loss_fn):
     """Build a jitted (params, opt_state, batch) -> (params, opt_state,
     loss) step; when ``mesh`` is given, in/out shardings pin params to
-    their TP layout and the batch to the data axis."""
+    their TP layout and the batch to the data axis. ``loss`` is a
+    callable (model, params, batch) -> scalar; defaults to the
+    transducer's, pass ``ctc_loss_fn`` for the CTC family."""
 
     def step(params, opt_state, batch: TrainBatch):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch))(params)
+        loss_val, grads = jax.value_and_grad(
+            lambda p: loss(model, p, batch))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss_val
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())

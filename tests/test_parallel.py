@@ -244,3 +244,32 @@ def test_ctc_tp_sharded_matches_unsharded():
         t_tp, c_tp = jax.jit(model.decode_greedy)(sharded, feats, lens)
     np.testing.assert_array_equal(np.asarray(c_plain), np.asarray(c_tp))
     np.testing.assert_array_equal(np.asarray(t_plain), np.asarray(t_tp))
+
+
+def test_ctc_sharded_train_step():
+    """CTC training shards over the same data x model mesh: one step on
+    the 8-device mesh updates params and returns a finite loss."""
+    from amira_rust_asr_server_tpu.models import CTCModel
+    from amira_rust_asr_server_tpu.parallel import ctc_loss_fn
+
+    model = CTCModel.from_preset("tiny")
+    mesh = make_mesh({"data": 2, "model": 4})
+    optimizer = make_optimizer(lr=1e-3)
+    params, opt_state = init_training(
+        model, jax.random.PRNGKey(0), optimizer, mesh)
+    step = make_train_step(model, optimizer, mesh,
+                           loss=ctc_loss_fn)(params, opt_state)
+
+    rng = np.random.default_rng(13)
+    b, n = 2, 3200
+    batch = TrainBatch(
+        audio=jnp.asarray(rng.standard_normal((b, n)) * 0.1, jnp.float32),
+        audio_lens=jnp.full((b,), n, jnp.int32),
+        labels=jnp.asarray(
+            rng.integers(0, model.config.blank_id, (b, 3)), jnp.int32),
+        label_lens=jnp.full((b,), 3, jnp.int32),
+    )
+    before = np.asarray(params["head"]["w"])  # copy: the step donates params
+    params, opt_state, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(params["head"]["w"]), before)

@@ -26,6 +26,8 @@ import time
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=800)
+    parser.add_argument("--family", choices=["transducer", "ctc"],
+                        default="transducer")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--lr", type=float, default=2e-3)
     parser.add_argument("--seed", type=int, default=0)
@@ -68,7 +70,14 @@ def main() -> None:
     from amira_rust_asr_server_tpu.vocab import Vocabulary
 
     import optax
-    model = Transducer.from_preset("tiny")
+    if args.family == "ctc":
+        from amira_rust_asr_server_tpu.models import CTCModel
+        from amira_rust_asr_server_tpu.parallel import ctc_loss_fn
+        model = CTCModel.from_preset("tiny")
+        step_loss = ctc_loss_fn
+    else:
+        model = Transducer.from_preset("tiny")
+        from amira_rust_asr_server_tpu.parallel import loss_fn as step_loss
     # cosine decay to lr/10 sharpens the convergence tail (repeat-count
     # boundaries are the last thing the model gets right)
     sched = optax.schedules.warmup_cosine_decay_schedule(
@@ -76,8 +85,9 @@ def main() -> None:
     optimizer = make_optimizer(lr=sched)
     params, opt_state = init_training(
         model, jax.random.PRNGKey(args.seed), optimizer)
-    step = make_train_step(model, optimizer)
-    print(f"{model.param_count(params)/1e6:.2f}M params (tiny)")
+    step = make_train_step(model, optimizer, loss=step_loss)
+    print(f"{model.param_count(params)/1e6:.2f}M params "
+          f"(tiny {args.family})")
 
     audio_bucket = args.audio_bucket
     batches = digit_batches(args.batch, audio_bucket=audio_bucket,
@@ -103,6 +113,8 @@ def main() -> None:
     def decode(params, audio, lens):
         feats, feat_lens = log_mel_features(audio, lens,
                                             n_mels=model.config.n_mels)
+        if args.family == "ctc":
+            return model.decode_greedy(params, feats, feat_lens)
         enc, enc_lens = model.encode(params, feats, feat_lens)
         res = greedy_decode_transducer(model, params, enc, enc_lens)
         return res.tokens, res.counts
