@@ -79,23 +79,34 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def make_param_shardings(mesh: Mesh, params):
+def make_param_shardings(mesh: Mesh, params, fsdp: bool = False):
     """Tree of NamedSharding for a parameter pytree.
 
     A spec axis is dropped (replicated) when the dimension doesn't divide
     evenly by the mesh axis — correctness first, performance where shapes
     allow. Pad dims to multiples of the mesh in model configs for full TP.
+
+    ``fsdp=True`` additionally shards each parameter over the ``data``
+    axis (ZeRO-3 / fully-sharded data parallel, GSPMD-style): the largest
+    dim not already TP-sharded is partitioned over ``data``; XLA inserts
+    the all-gather before each use and reduce-scatters the grads. Params
+    and optimizer moments then cost 1/data_size HBM per chip.
     """
     model_size = mesh.shape[MODEL_AXIS]
+    data_size = mesh.shape[DATA_AXIS]
 
     def one(path, leaf):
+        ndim = getattr(leaf, "ndim", 0)
         spec = param_spec(_path_str(path), leaf)
-        fixed = []
+        fixed = [None] * ndim
         for dim, ax in enumerate(spec):
-            if ax == MODEL_AXIS and leaf.shape[dim] % model_size != 0:
-                fixed.append(None)
-            else:
-                fixed.append(ax)
+            if ax == MODEL_AXIS and leaf.shape[dim] % model_size == 0:
+                fixed[dim] = ax
+        if fsdp and data_size > 1:
+            for dim in sorted(range(ndim), key=lambda d: -leaf.shape[d]):
+                if fixed[dim] is None and leaf.shape[dim] % data_size == 0:
+                    fixed[dim] = DATA_AXIS
+                    break
         return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(one, params)
@@ -110,8 +121,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_params(mesh: Mesh, params):
-    """Place a parameter pytree onto the mesh with TP shardings."""
-    shardings = make_param_shardings(mesh, params)
+def shard_params(mesh: Mesh, params, fsdp: bool = False):
+    """Place a parameter pytree onto the mesh with TP (+FSDP) shardings."""
+    shardings = make_param_shardings(mesh, params, fsdp=fsdp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, shardings)
