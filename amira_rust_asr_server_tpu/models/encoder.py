@@ -163,6 +163,54 @@ class FeedForward(nn.Module):
         return QDense(d, quant=cfg.quant_int8, name="w2")(x)
 
 
+class MoEFeedForward(nn.Module):
+    """Mixture-of-experts feed-forward (dense-compute, top-k combine).
+
+    Experts are stacked on a leading axis — ``w1 [E, d, f]``, ``w2
+    [E, f, d]`` — so expert parallelism is a *sharding annotation*, not a
+    dispatch system: ``parallel/mesh.py`` places the expert dim on the
+    ``model`` axis and GSPMD turns the combine into one psum over ICI.
+    Every expert computes every token; the top-k softmax gate zeroes the
+    non-selected outputs in the combine weights. For n_experts ≈ mesh
+    width this costs one dense FF pass per device and keeps serving
+    latency deterministic (no capacity overflows, no all_to_all) — the
+    TPU-first tradeoff for serving-scale expert counts (see
+    presets.ModelConfig.moe_experts).
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        d = x.shape[-1]
+        e, f = cfg.moe_experts, cfg.ff_expansion * d
+        k = min(cfg.moe_top_k, e)
+
+        gate_w = self.param("gate", nn.initializers.lecun_normal(), (d, e))
+        w1 = self.param("w1", nn.initializers.lecun_normal(), (e, d, f))
+        b1 = self.param("b1", nn.initializers.zeros, (e, f))
+        w2 = self.param("w2", nn.initializers.lecun_normal(), (e, f, d))
+        b2 = self.param("b2", nn.initializers.zeros, (e, d))
+
+        # top-k gate: softmax over the selected experts only (renormalized
+        # combine weights, Switch/GShard convention), dense [B, T, E] mask
+        logits = jnp.dot(x, gate_w)                      # [B, T, E]
+        top_vals, _ = jax.lax.top_k(logits, k)
+        thresh = top_vals[..., -1:]                      # k-th largest
+        selected = logits >= thresh                      # [B, T, E] bool
+        masked = jnp.where(selected, logits,
+                           jnp.asarray(-1e9, logits.dtype))
+        combine = jax.nn.softmax(masked, axis=-1)        # zeros off-top-k
+
+        # every expert computes (dense MoE); combine folds the gate in.
+        # einsum keeps the expert dim explicit so GSPMD shards it.
+        h = jnp.einsum("btd,edf->ebtf", x, w1) + b1[:, None, None, :]
+        h = nn.silu(h)
+        y = jnp.einsum("ebtf,efd->ebtd", h, w2) + b2[:, None, None, :]
+        return jnp.einsum("ebtd,bte->btd", y, combine)
+
+
 class ConformerBlock(nn.Module):
     config: ModelConfig
 
@@ -190,7 +238,9 @@ class ConformerBlock(nn.Module):
             nn.LayerNorm(name="ln_mhsa")(x), pad_mask), "ls_mhsa")
         x = add(x, ConvModule(self.config, name="conv")(
             nn.LayerNorm(name="ln_conv")(x), pad_mask), "ls_conv")
-        x = add(x, 0.5 * FeedForward(self.config, name="ff2")(
+        ff2_cls = (MoEFeedForward if self.config.moe_experts > 0
+                   else FeedForward)
+        x = add(x, 0.5 * ff2_cls(self.config, name="ff2")(
             nn.LayerNorm(name="ln_ff2")(x)), "ls_ff2")
         return nn.LayerNorm(name="ln_out")(x)
 

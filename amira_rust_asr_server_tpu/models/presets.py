@@ -49,6 +49,15 @@ class ModelConfig:
     # (W8A8 dynamic quant, ops/quant.py). Param pytree is unchanged;
     # checkpoints load as-is. Set via Config.quantization="int8".
     quant_int8: bool = False
+    # Mixture-of-experts second feed-forward (0 = dense FF everywhere).
+    # Dense-compute MoE: every expert runs, top-k combine by gate weight
+    # — no all_to_all, no token dropping, deterministic serving latency;
+    # the expert dim is sharded over the `model` mesh axis (expert
+    # parallelism), so wall-clock per device is ~one FF pass when
+    # n_experts ≈ mesh width. Capacity-routed all_to_all dispatch only
+    # wins when n_experts >> devices, which serving meshes here never do.
+    moe_experts: int = 0
+    moe_top_k: int = 2
 
     # prediction network
     d_pred: int = DECODER_STATE_SIZE  # LSTM hidden (contract: 640)

@@ -154,6 +154,22 @@ def _ff(p: Dict, x: jax.Array) -> jax.Array:
     return _dense(p["w2"], jax.nn.silu(_dense(p["w1"], x)))
 
 
+def _moe_ff(p: Dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Streaming mirror of encoder.MoEFeedForward (same math, raw pytree).
+    Stateless per-frame, so chunked == batch holds with no extra cache."""
+    e = cfg.moe_experts
+    k = min(cfg.moe_top_k, e)
+    logits = jnp.dot(x, p["gate"])
+    top_vals, _ = jax.lax.top_k(logits, k)
+    selected = logits >= top_vals[..., -1:]
+    masked = jnp.where(selected, logits, jnp.asarray(-1e9, logits.dtype))
+    combine = jax.nn.softmax(masked, axis=-1)
+    h = jnp.einsum("btd,edf->ebtf", x, p["w1"]) + p["b1"][:, None, None, :]
+    h = jax.nn.silu(h)
+    y = jnp.einsum("ebtf,efd->ebtd", h, p["w2"]) + p["b2"][:, None, None, :]
+    return jnp.einsum("ebtd,bte->btd", y, combine)
+
+
 def encode_chunk(enc_params: Dict, cfg: ModelConfig, feats: jax.Array,
                  cache: EncoderCache
                  ) -> Tuple[jax.Array, EncoderCache]:
@@ -194,8 +210,10 @@ def encode_chunk(enc_params: Dict, cfg: ModelConfig, feats: jax.Array,
             p["conv"], cfg, _layernorm(p["ln_conv"], x),
             cache.conv_tail[i])
         x = x + gained(conv_out, "ls_conv")
-        x = x + gained(0.5 * _ff(p["ff2"], _layernorm(p["ln_ff2"], x)),
-                       "ls_ff2")
+        x_ff2 = _layernorm(p["ln_ff2"], x)
+        ff2_out = (_moe_ff(p["ff2"], cfg, x_ff2) if cfg.moe_experts > 0
+                   else _ff(p["ff2"], x_ff2))
+        x = x + gained(0.5 * ff2_out, "ls_ff2")
         x = _layernorm(p["ln_out"], x)
         new_k.append(k2)
         new_v.append(v2)

@@ -56,6 +56,13 @@ def param_spec(path: str, leaf) -> P:
     name = path.lower()
     if "embed" in name:
         return P(MODEL_AXIS, None)
+    # MoE ff2 expert stacks [E, d, f]/[E, f, d]/[E, f]: shard the expert
+    # dim over model = expert parallelism (encoder.MoEFeedForward)
+    if "ff2" in name and ndim == 3:
+        return P(MODEL_AXIS, None, None)
+    if "ff2" in name and ndim == 2 and (
+            name.endswith("b1") or name.endswith("b2")):
+        return P(MODEL_AXIS, None)
     if ndim == 2:
         d_in, d_out = shape[-2], shape[-1]
         if d_out >= d_in:        # column-parallel (up/qkv/gates/out-vocab)
