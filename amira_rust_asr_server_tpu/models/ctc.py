@@ -80,6 +80,19 @@ class CTCModel:
         return ctc_greedy_decode(
             self.log_probs(params, enc), enc_lens, self.config.blank_id)
 
+    def decode_beam(self, params: Params, features: jax.Array,
+                    feat_lens: jax.Array, *, width: int = 8,
+                    graph=None, bias=None, strict: bool = True):
+        """Fused forward + prefix beam search (ops/ctc_beam.py): returns
+        CtcBeamResult (tokens [B,K,L], counts [B,K], scores [B,K]).
+        Accepts the same weighted TokenTrie decoding graphs as the
+        transducer beam (incl. OpenFST-text assets via ops/fst_io.py)."""
+        from ..ops.ctc_beam import ctc_beam_decode
+        enc, enc_lens = self.encode(params, features, feat_lens)
+        return ctc_beam_decode(
+            self.log_probs(params, enc), enc_lens, self.config.blank_id,
+            width=width, graph=graph, bias=bias, strict=strict)
+
     def loss(self, params: Params, features: jax.Array,
              feat_lens: jax.Array, labels: jax.Array,
              label_lens: jax.Array) -> jax.Array:

