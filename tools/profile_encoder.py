@@ -32,16 +32,31 @@ import time
 
 
 def timeit(fn, x, iters=20):
-    """Steady-state s/call: fn(x)->array chained on its own output shape."""
+    """Steady-state s/call via two-point slope: (T(2N)-T(N))/N.
+
+    Measured on axon (round 5): every timing loop carries a ~600 ms FIXED
+    cost (queue flush + readback RTT) regardless of iteration count — a
+    trivial jitted program reads 141 ms/call at N=5 and 30 ms/call at
+    N=20, both ≈600-700 ms total. A single mean therefore overstates any
+    sub-RTT program by the amortized fixed cost; the slope between two
+    loop lengths cancels it exactly."""
     import numpy as np
     out = fn(x)
     np.asarray(out).ravel()[:1]  # compile + warm, host readback
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(out) if out.shape == x.shape and out.dtype == x.dtype \
-            else fn(x)
-    np.asarray(out).ravel()[:1]
-    return (time.time() - t0) / iters
+
+    chain = out.shape == x.shape and out.dtype == x.dtype
+
+    def loop(n):
+        o = x
+        t0 = time.time()
+        for _ in range(n):
+            o = fn(o) if chain else fn(x)
+        np.asarray(o).ravel()[:1]
+        return time.time() - t0
+
+    t1 = loop(iters)
+    t2 = loop(2 * iters)
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def main() -> None:
@@ -93,14 +108,17 @@ def main() -> None:
     audio = jnp.asarray(rng.standard_normal((b, n)) * 0.1, jnp.float32)
     lens = jnp.full((b,), n, jnp.int32)
 
+    # params MUST be a jit argument, not a closure constant: baking the
+    # 421M tree into the HLO makes the remote-compile payload ~840 MB ->
+    # HTTP 413 (CLAUDE.md gotcha; hit for real in the round-5 capture).
     @jax.jit
-    def full_encode(audio):
+    def full_encode(p, audio):
         feats, fl = log_mel_features(audio, lens, n_mels=cfg.n_mels)
-        enc, _ = model.encode(params, feats.astype(dt), fl)
+        enc, _ = model.encode(p, feats.astype(dt), fl)
         return enc
 
     # chain on audio identity (same shape/dtype) for dependency
-    enc_s = timeit(full_encode, audio, args.iters)
+    enc_s = timeit(lambda v: full_encode(params, v), audio, args.iters)
 
     # -- sub-modules at block shapes [B, T', D] ----------------------------
     x = jnp.asarray(rng.standard_normal((b, t_sub, d)) * 0.1, dt)
@@ -113,20 +131,58 @@ def main() -> None:
     ln = nn.LayerNorm()
     ln_params = {"params": block_params["ln_mhsa"]}
 
+    # Sub-modules cost ~0.03-2 ms each — far below the tunnel's per-loop
+    # noise (~±50 ms on a ~600 ms fixed flush+readback cost), so even the
+    # loop-count slope reads zero (measured: all five modules clamped to
+    # 0.000 at reps=64/iters=5). Resolve them with an IN-PROGRAM rep
+    # slope instead: compile each module at two fori_loop trip counts
+    # (R1, R2) and take per_rep = (T(R2) - T(R1)) / (R2 - R1), each T a
+    # median-of-3 single-dispatch wall time ending in a host readback.
+    # The fixed tunnel cost cancels exactly and the difference carries
+    # 150-500 ms of pure compute signal. Params ride as jit ARGUMENTS
+    # per the 413 rule; the loop carry is the data dependency, so XLA
+    # cannot elide iterations.
+    def repeat_jit(apply_fn, reps):
+        def run(p, v):
+            return jax.lax.fori_loop(
+                0, reps, lambda i, o: apply_fn(p, o), v)
+        return jax.jit(run)
+
+    def dispatch_time(jfn, p, v):
+        """Median-of-3 single-dispatch seconds, readback-terminated."""
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(jfn(p, v)).ravel()[:1]
+            ts.append(time.time() - t0)
+        return sorted(ts)[1]
+
+    def rep_slope(apply_fn, p, v, r1, r2, name):
+        j1, j2 = repeat_jit(apply_fn, r1), repeat_jit(apply_fn, r2)
+        np.asarray(j1(p, v)).ravel()[:1]  # compile + warm
+        np.asarray(j2(p, v)).ravel()[:1]
+        t1, t2 = dispatch_time(j1, p, v), dispatch_time(j2, p, v)
+        print(f"  {name}: T({r1})={t1*1e3:.1f} ms  T({r2})={t2*1e3:.1f} ms",
+              file=_sys.stderr, flush=True)
+        return max((t2 - t1) / (r2 - r1), 1e-9)
+
+    # (R1, R2) sized so R2-R1 carries >=150 ms of compute at the
+    # roofline-estimated per-rep cost of each module.
     mods = {
-        "mhsa": jax.jit(lambda v: mhsa.apply(
-            {"params": block_params["mhsa"]}, v, pad_mask)),
-        "conv_module": jax.jit(lambda v: conv.apply(
-            {"params": block_params["conv"]}, v, pad_mask)),
-        "feed_forward": jax.jit(lambda v: ff.apply(
-            {"params": block_params["ff1"]}, v)),
-        "layernorm": jax.jit(lambda v: ln.apply(ln_params, v)),
-        "block": jax.jit(lambda v: ConformerBlock(cfg).apply(
-            {"params": block_params}, v, pad_mask)),
+        "mhsa": (lambda p, v: mhsa.apply(p, v, pad_mask),
+                 {"params": block_params["mhsa"]}, 512, 2048),
+        "conv_module": (lambda p, v: conv.apply(p, v, pad_mask),
+                        {"params": block_params["conv"]}, 512, 2048),
+        "feed_forward": (lambda p, v: ff.apply(p, v),
+                         {"params": block_params["ff1"]}, 256, 1024),
+        "layernorm": (lambda p, v: ln.apply(p, v),
+                      ln_params, 2048, 8192),
+        "block": (lambda p, v: ConformerBlock(cfg).apply(p, v, pad_mask),
+                  {"params": block_params}, 128, 512),
     }
     rows = {}
-    for name, fn in mods.items():
-        rows[name] = timeit(fn, x, args.iters)
+    for name, (apply_fn, p, r1, r2) in mods.items():
+        rows[name] = rep_slope(apply_fn, p, x, r1, r2, name)
         print(f"{name:14s} {rows[name]*1e3:8.3f} ms", file=_sys.stderr,
               flush=True)
 
