@@ -133,6 +133,35 @@ class AppState:
                 self.lane_engine.prometheus = self.prometheus
                 self.prometheus.lane_live_fn = \
                     lambda: self.lane_engine.live_lanes
+            # Dedicated tick loop: ONE thread advances the engine whenever
+            # any lane has a buffered chunk. Session threads only feed and
+            # read transcripts — they never dispatch. The round-5 native
+            # loadtest showed why: with session threads ticking inline
+            # under lane_lock, 16 streams formed a lock convoy (one
+            # tick ≈ a full dispatch+readback RTT), work items blew the
+            # 5 s partial budget, the timeout killed the stream, and the
+            # reconnect storm kept every lane too young to batch
+            # (mean_lanes_per_tick 1.0, 656 sessions / 16 clients). A
+            # single ticker batches ALL ready lanes into each fused step,
+            # which is the design point of the lane engine.
+            self._lane_ticker_stop = threading.Event()
+
+            def _tick_loop():
+                eng = self.lane_engine
+                while not self._lane_ticker_stop.is_set():
+                    did = False
+                    # pending() reads host lists racily; tick() recomputes
+                    # readiness under the lock, so a stale view only costs
+                    # one 5 ms sleep
+                    if eng.pending():
+                        with self.lane_lock:
+                            did = bool(eng.tick())
+                    if not did:
+                        self._lane_ticker_stop.wait(0.005)
+
+            self.lane_ticker = threading.Thread(
+                target=_tick_loop, name="lane-ticker", daemon=True)
+            self.lane_ticker.start()
 
     def _on_breaker_state(self, s) -> None:
         """Breaker transitions: state gauge + open/close trip counters
@@ -144,7 +173,18 @@ class AppState:
         elif s.name == "CLOSED":
             prom.breaker_closes.inc()
 
+    @property
+    def lane_ticker_alive(self) -> bool:
+        t = getattr(self, "lane_ticker", None)
+        return t is not None and t.is_alive()
+
     def close(self) -> None:
+        if getattr(self, "_lane_ticker_stop", None) is not None:
+            self._lane_ticker_stop.set()
+            # join briefly: a daemon thread mid-dispatch at interpreter
+            # exit aborts inside the XLA runtime (observed on the CPU
+            # backend: "FATAL: exception not rethrown")
+            self.lane_ticker.join(timeout=5.0)
         self.pipeline.stop_background_warmup()
         self.inference_executor.shutdown(wait=False, cancel_futures=True)
         self.session_executor.shutdown(wait=False, cancel_futures=True)

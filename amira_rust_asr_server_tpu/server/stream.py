@@ -73,6 +73,12 @@ class _LaneAdapter:
         self.lock = state.lane_lock
         self._samples = 0
         self.session = None
+        # Per-session feed ordering: a timed-out partial's work item may
+        # still be running when the next chunk's work starts on another
+        # pool thread; this lock keeps one session's feeds sequential so
+        # audio cannot interleave out of order on the lane.
+        import threading
+        self._feed_lock = threading.Lock()
         with self.lock:
             self.lane = self.engine.attach()
         if self.lane is None:
@@ -90,11 +96,37 @@ class _LaneAdapter:
             if final:
                 return self.session.end().text
             return self.session.feed(samples)
+        with self._feed_lock:
+            return self._feed_lane(samples, final)
+
+    def _feed_lane(self, samples, final: bool) -> str:
+        import time as _time
+
+        ticker = self.state.lane_ticker_alive
         with self.lock:
             self.engine.feed(self.lane, samples, final=final)
-            if final:
+            if not ticker:
+                # no background ticker (direct construction in tests):
+                # original inline behavior
+                if final:
+                    return self.engine.drain(self.lane)
+                self.engine.tick()
+                return self.engine.transcript(self.lane)
+        if final:
+            # the ticker drains the lane; wait for the backlog to empty,
+            # bounded, then fall back to an inline drain
+            deadline = (_time.monotonic()
+                        + self.state.config.inference_timeout_secs)
+            while _time.monotonic() < deadline:
+                with self.lock:
+                    if not self.engine.lane_ready(self.lane):
+                        return self.engine.transcript(self.lane)
+                _time.sleep(0.005)
+            with self.lock:
                 return self.engine.drain(self.lane)
-            self.engine.tick()
+        # partials never dispatch: the transcript reflects whatever the
+        # ticker has decoded so far (append-only, may lag by one chunk)
+        with self.lock:
             return self.engine.transcript(self.lane)
 
     def process_chunk(self, audio_bytes: bytes) -> str:
@@ -326,7 +358,24 @@ class StreamProcessor:
                 transcription = await self._decode_with_retry(
                     loop, work, budget, is_final)
             except asyncio.TimeoutError:
-                raise ValueError("ASR processing timeout") from None
+                if is_final:
+                    raise ValueError("ASR processing timeout") from None
+                # a slow PARTIAL must not kill the stream (round-5 native
+                # loadtest: timeout -> error frame -> close -> reconnect
+                # storm). The audio is already in the session/lane buffer;
+                # the next window or the final drain re-decodes it. Only
+                # the final drain — where the client cannot re-send — is
+                # allowed to error the stream.
+                self.state.metrics.record_rejection()
+                log.info("stream %s: partial deferred (slow decode)",
+                         self.stream_id)
+                await self.send_response(AsrResponse(
+                    transcription=self.last_transcription,
+                    status=StreamStatus.ACTIVE,
+                    message="busy: partial deferred",
+                    metadata={"audio_length_seconds":
+                              self.incremental.audio_length()}))
+                return
             except CapacityExceededError:
                 # transient load shed: the admission queue was full for
                 # this window's re-decode. The audio is already in the
