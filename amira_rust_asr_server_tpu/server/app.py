@@ -398,8 +398,10 @@ def build_state(config: Optional[Config] = None,
         n = pipeline.warmup()
         log.info("warmed %d bucket programs in %.1fs", n, time.time() - t0)
         # the remaining (batch x length) buckets compile off-thread while
-        # the warm set serves; the batcher packs only into warm buckets
-        pipeline.start_background_warmup()
+        # the warm set serves; the batcher packs only into warm buckets.
+        # In native mode the supervisor pauses this whenever a stream is
+        # live (a fresh bucket's first dispatch can hog the chip 2-85 s)
+        state.start_warmup_supervisor()
         if state.lane_engine is not None:
             # warm-before-accept for native streaming: the lane engine's
             # fused chunk step is the hot path in this mode, and a cold

@@ -173,12 +173,60 @@ class AppState:
         elif s.name == "CLOSED":
             prom.breaker_closes.inc()
 
+    def start_warmup_supervisor(self, idle_secs: float = 10.0) -> None:
+        """Backpressured background bucket warmup.
+
+        Without the lane engine this is plain
+        ``pipeline.start_background_warmup()``. With it, bucket warmup
+        only runs while NO stream is live: on axon the FIRST dispatch of
+        a freshly compiled bucket program can occupy the chip for
+        2-85 s, and the round-5 diagnostic loadtest showed background
+        warmup dispatches serializing ahead of lane ticks (tick EWMA
+        >1.2 s vs the 7.84 ms device cost), blowing partial budgets and
+        tripping the breaker. Warmup is stopped (between buckets — an
+        in-flight bucket still finishes) the moment a lane goes live and
+        resumes after ``idle_secs`` of idle; ``is_warm`` bookkeeping
+        makes stop/start resumable."""
+        import threading
+        import time as _time
+
+        eng = self.lane_engine
+        if eng is None:
+            self.pipeline.start_background_warmup()
+            return
+        self._warmup_sup_stop = threading.Event()
+
+        def run():
+            pipe = self.pipeline
+            idle_since = _time.monotonic()
+            running = False
+            while not self._warmup_sup_stop.is_set():
+                if eng.live_lanes > 0:
+                    idle_since = _time.monotonic()
+                    if running:
+                        pipe.stop_background_warmup()
+                        running = False
+                elif running:
+                    t = pipe._warmup_thread
+                    if t is not None and not t.is_alive():
+                        return  # every bucket warm (or warmup bailed)
+                elif _time.monotonic() - idle_since >= idle_secs:
+                    pipe.start_background_warmup()
+                    running = True
+                self._warmup_sup_stop.wait(1.0)
+
+        self._warmup_supervisor = threading.Thread(
+            target=run, name="warmup-supervisor", daemon=True)
+        self._warmup_supervisor.start()
+
     @property
     def lane_ticker_alive(self) -> bool:
         t = getattr(self, "lane_ticker", None)
         return t is not None and t.is_alive()
 
     def close(self) -> None:
+        if getattr(self, "_warmup_sup_stop", None) is not None:
+            self._warmup_sup_stop.set()
         if getattr(self, "_lane_ticker_stop", None) is not None:
             self._lane_ticker_stop.set()
             # join briefly: a daemon thread mid-dispatch at interpreter

@@ -28,7 +28,7 @@ import numpy as np
 from aiohttp import WSMsgType, web
 
 from .. import constants as C
-from ..errors import CapacityExceededError
+from ..errors import CapacityExceededError, CircuitOpenError
 from ..reliability import get_logger
 from ..runtime.incremental import IncrementalAsr
 from ..types import AsrResponse, StreamStatus
@@ -357,15 +357,21 @@ class StreamProcessor:
             try:
                 transcription = await self._decode_with_retry(
                     loop, work, budget, is_final)
-            except asyncio.TimeoutError:
+            except (asyncio.TimeoutError, CircuitOpenError) as e:
                 if is_final:
+                    if isinstance(e, CircuitOpenError):
+                        raise
                     raise ValueError("ASR processing timeout") from None
                 # a slow PARTIAL must not kill the stream (round-5 native
                 # loadtest: timeout -> error frame -> close -> reconnect
-                # storm). The audio is already in the session/lane buffer;
-                # the next window or the final drain re-decodes it. Only
-                # the final drain — where the client cannot re-send — is
-                # allowed to error the stream.
+                # storm). Same for a breaker-open episode: the diagnostic
+                # re-run showed the breaker (tripped by early slow-tick
+                # timeouts) closing EVERY stream for its full open window
+                # ("chunk error: inference circuit is open" x293). The
+                # audio is already in the session/lane buffer; the next
+                # window or the final drain re-decodes it. Only the final
+                # drain — where the client cannot re-send — is allowed to
+                # error the stream.
                 self.state.metrics.record_rejection()
                 log.info("stream %s: partial deferred (slow decode)",
                          self.stream_id)

@@ -103,7 +103,11 @@ async def stream_client(session, url, stats, stop, synth_seed=None):
                         pass
                     await asyncio.sleep(0.1)
                 await ws.send_bytes(b"\xff")
-        except Exception:  # noqa: BLE001 — keep hammering
+        except Exception as e:  # noqa: BLE001 — keep hammering
+            # churn diagnosis: count WHY sessions die, not just that they do
+            key = f"{type(e).__name__}: {e}"[:120]
+            errs = stats.setdefault("errors", {})
+            errs[key] = errs.get(key, 0) + 1
             await asyncio.sleep(0.5)
 
 

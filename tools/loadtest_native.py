@@ -62,6 +62,7 @@ async def drive(port: int, streams: int, duration: float) -> dict:
         # long-lived clients: sessions ≈ streams unless errors churn them
         "client_sessions": stats.get("sessions", 0),
         "client_reconnects": stats.get("reconnects", 0),
+        "client_errors": stats.get("errors", {}),
         "server_metrics": {k: metrics.get(k)
                            for k in ("active_streams", "total_streams",
                                      "batcher", "lane_engine")
@@ -77,6 +78,10 @@ def main() -> None:
     parser.add_argument("--chunk-frames", type=int, default=64)
     parser.add_argument("--out", default="LOADTEST_r03.json")
     parser.add_argument("--warmup-timeout", type=float, default=1800.0)
+    parser.add_argument("--server-log", default=None,
+                        help="capture server stdout/stderr to this file "
+                             "(default: discarded) — session-churn "
+                             "diagnosis needs the server's close reasons")
     args = parser.parse_args()
 
     port = _free_port()
@@ -94,11 +99,12 @@ def main() -> None:
     ckpt = _REPO / "model-repo" / "large-synth-stream"
     if ckpt.is_dir() and args.preset == "large-streaming":
         env["AMIRA_CHECKPOINT_PATH"] = str(ckpt)
+    log_f = (open(args.server_log, "w") if args.server_log
+             else subprocess.DEVNULL)
     proc = subprocess.Popen(
         [_sys.executable, "-m", "amira_rust_asr_server_tpu.server",
          "--port", str(port)],
-        cwd=_REPO, env=env, stdout=subprocess.DEVNULL,
-        stderr=subprocess.STDOUT)
+        cwd=_REPO, env=env, stdout=log_f, stderr=subprocess.STDOUT)
     try:
         # wait for warmup (first flagship compile can take minutes)
         import urllib.request
