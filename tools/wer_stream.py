@@ -85,6 +85,12 @@ def main() -> None:
     parser.add_argument("--lanes", type=int, default=64)
     parser.add_argument("--chunk-frames", type=int, default=64)
     parser.add_argument("--manifest-dir", default="/tmp/wer_stream_manifest")
+    parser.add_argument("--norm", default="stream",
+                        choices=["stream", "none"],
+                        help="featurizer normalization; trained "
+                             "checkpoints consumed RAW log-mel in "
+                             "training, so 'stream' is a train/serve "
+                             "mismatch — this flag exists to measure it")
     parser.add_argument("--out", default="STREAMWER_r05.json")
     args = parser.parse_args()
 
@@ -124,13 +130,15 @@ def main() -> None:
         if x.dtype == jnp.float32 else x, params)
 
     out = {"checkpoint": str(ckpt), "weights": weights,
+           "norm": args.norm,
            "preset": args.preset, "chunk_frames": args.chunk_frames}
 
     # ---- greedy lanes: interleave utterances across concurrent lanes so
     # every tick advances many lanes (the serving access pattern)
     engine = StreamingLaneEngine(model, params, vocab,
                                  n_lanes=args.lanes,
-                                 chunk_frames=args.chunk_frames)
+                                 chunk_frames=args.chunk_frames,
+                                 norm=args.norm)
     engine.warm()
     hop = args.chunk_frames * 160
     pairs = []
@@ -167,7 +175,8 @@ def main() -> None:
         for u in utts[:args.beam_utts]:
             sess = StreamingBeamSession(model, params, vocab,
                                         chunk_frames=args.chunk_frames,
-                                        beam_width=args.beam_width)
+                                        beam_width=args.beam_width,
+                                        norm=args.norm)
             audio = load_wav(u["audio_filepath"])
             for pos in range(0, len(audio), hop):
                 sess.feed(audio[pos:pos + hop], final=False)
