@@ -87,6 +87,25 @@ def parse_batch_request(body: dict,
     return audio, opaque
 
 
+def _lattice_transcription(state: "AppState", res, n_samples: int,
+                           feat_len: int, enc_len: int):
+    """Transcription for a lattice-bypass beam decode (mirrors
+    AsrPipeline.process_batch_samples' beam branch)."""
+    from ..types import Transcription
+    tokens = [int(t) for t in res.tokens[0, :int(res.counts[0])]]
+    tr = Transcription(
+        text=state.vocab.decode_tokens(tokens), tokens=tokens,
+        audio_length_samples=n_samples, features_length=feat_len,
+        encoded_length=enc_len, score=float(res.scores[0]),
+        decode_path=state.pipeline.last_decode_path)
+    if res.n_best:
+        tr.n_best = [
+            {"text": state.vocab.decode_tokens(seq), "score": score,
+             "tokens": seq}
+            for score, seq in res.n_best[0]]
+    return tr
+
+
 def error_response(err: Exception) -> web.Response:
     if isinstance(err, AppError):
         return web.json_response(err.to_json(), status=err.http_status)
@@ -117,6 +136,17 @@ async def handle_batch(request: web.Request) -> web.Response:
             raise RequestValidationError("invalid JSON body") from None
         audio, opaque = parse_batch_request(
             body, state.config.max_batch_audio_length_secs)
+        want_lattice = bool(body.get("lattice", False))
+        if want_lattice and state.config.decoding_mode != "beam":
+            raise RequestValidationError(
+                "lattice output requires decoding_mode=beam")
+        lattice_n_best = body.get("n_best", state.config.beam_width)
+        if want_lattice:
+            try:
+                lattice_n_best = max(1, int(lattice_n_best))
+            except (TypeError, ValueError):
+                raise RequestValidationError(
+                    "n_best must be an integer") from None
 
         with request_span("batch", model=request.match_info.get("model")):
             # budget: cold buckets include an XLA compile (~1 min under
@@ -134,9 +164,30 @@ async def handle_batch(request: web.Request) -> web.Response:
                     state.prometheus.audio_conversion.observe(
                         time.perf_counter() - tc)
                     state.prometheus.audio_chunk_bytes.observe(len(audio))
-                tr, _ = await state.breaker.call_async(
-                    asyncio.wait_for(
-                        state.batcher.submit(samples), budget))
+                if want_lattice:
+                    # lattice requests bypass the continuous batcher (they
+                    # need the device trace, which the batcher's result
+                    # surface rightly does not carry) but still ride the
+                    # single dispatch thread + breaker + timeout budget;
+                    # the jitted program is the SAME _beam_fwd the batcher
+                    # warms, so this compiles nothing new
+                    from ..ops.lattice import decode_beam_lattice
+                    loop = asyncio.get_running_loop()
+                    res, lattices, feat_lens, enc_lens = (
+                        await state.breaker.call_async(asyncio.wait_for(
+                            loop.run_in_executor(
+                                state.inference_executor,
+                                lambda: decode_beam_lattice(
+                                    state.pipeline, [samples],
+                                    n_best=lattice_n_best)),
+                            budget)))
+                    tr = _lattice_transcription(
+                        state, res, samples.shape[0],
+                        feat_lens[0], enc_lens[0])
+                else:
+                    tr, _ = await state.breaker.call_async(
+                        asyncio.wait_for(
+                            state.batcher.submit(samples), budget))
 
         metadata = {
             "audio_length_samples": tr.audio_length_samples,
@@ -155,6 +206,13 @@ async def handle_batch(request: web.Request) -> web.Response:
             # kernel-vs-scan routing (a >1024-state grammar silently
             # falls back to the slower XLA scan — make it diagnosable)
             metadata["decode_path"] = tr.decode_path
+        if want_lattice:
+            sec_per_frame = (
+                C.HOP_LENGTH
+                * state.pipeline.model.config.subsampling_factor
+                / C.SAMPLE_RATE)
+            metadata["lattice"] = lattices[0].to_dict(
+                vocab=state.vocab, sec_per_frame=sec_per_frame)
         response = AsrResponse(
             transcription=tr.text, status=StreamStatus.COMPLETE,
             metadata=metadata, opaque=opaque)
