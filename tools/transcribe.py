@@ -75,6 +75,43 @@ def build_ctc(args):
     return _CtcRunner()
 
 
+def build_aed(args):
+    """AED family: fused encode + autoregressive greedy decode."""
+    from amira_rust_asr_server_tpu.models import AEDModel
+    from amira_rust_asr_server_tpu.ops import log_mel_features
+    from amira_rust_asr_server_tpu.vocab import Vocabulary
+    import jax
+    import jax.numpy as jnp
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    model = AEDModel.from_preset(args.preset)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        params = model.load_checkpoint(args.checkpoint, like=params)
+    vocab = Vocabulary.load(args.vocab)
+
+    @jax.jit
+    def run(params, audio, lens):
+        feats, feat_lens = log_mel_features(
+            audio, lens, n_mels=model.config.n_mels)
+        return model.decode_greedy(params, feats, feat_lens)
+
+    class _AedRunner:
+        def process_batch_samples(self, samples):
+            audio = jnp.asarray(samples)[None, :]
+            lens = jnp.asarray([samples.shape[0]], jnp.int32)
+            toks, counts = run(params, audio, lens)
+            ids = [int(t) for t in np.asarray(toks)[0][:int(counts[0])]]
+
+            class _T:
+                text = vocab.decode_tokens(ids)
+                tokens = ids
+            return _T()
+
+    return _AedRunner()
+
+
 def build_pipeline(args):
     from amira_rust_asr_server_tpu.config import Config
     from amira_rust_asr_server_tpu.models import Transducer
@@ -108,7 +145,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("files", nargs="+", help="16 kHz 16-bit PCM WAV files")
     p.add_argument("--preset", default="large")
-    p.add_argument("--family", choices=["transducer", "ctc"],
+    p.add_argument("--family", choices=["transducer", "ctc", "aed"],
                    default="transducer")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--vocab", default="model-repo/vocab.txt")
@@ -124,8 +161,8 @@ def main(argv=None) -> int:
                    help="one JSON object per file on stdout")
     args = p.parse_args(argv)
 
-    pipeline = build_ctc(args) if args.family == "ctc" \
-        else build_pipeline(args)
+    pipeline = {"ctc": build_ctc, "aed": build_aed}.get(
+        args.family, build_pipeline)(args)
     rc = 0
     for path in args.files:
         try:
