@@ -60,6 +60,16 @@ def ctc_loss_fn(model, params, batch: TrainBatch) -> jax.Array:
     return losses.sum() / denom
 
 
+def aed_loss_fn(model, params, batch: TrainBatch) -> jax.Array:
+    """AED-family teacher-forced CE (models/aed.py). Already mean
+    per-token including the EOS position, matching the per-label
+    normalization convention of the other families."""
+    feats, feat_lens = log_mel_features(
+        batch.audio, batch.audio_lens, n_mels=model.config.n_mels)
+    return model.loss(params, feats, feat_lens,
+                      batch.labels, batch.label_lens)
+
+
 def make_seq_parallel_loss(mesh: Mesh, base: str = "rnnt"):
     """RNN-T/CTC loss with **sequence-parallel** activation shardings
     (Megatron-SP convention: the time axis is sharded over the same mesh

@@ -139,6 +139,32 @@ def test_checkpoint_roundtrip(model, params, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_aed_train_step_tp_sharded_matches_unsharded(model):
+    """aed_loss_fn rides the same structural shardings as the other
+    families: sharded train-step loss == single-device loss."""
+    from amira_rust_asr_server_tpu.parallel import (TrainBatch, aed_loss_fn,
+                                                    init_training, make_mesh,
+                                                    make_optimizer,
+                                                    make_train_step)
+    rng = np.random.default_rng(7)
+    b, n, u = 2, 3200, 4
+    batch = TrainBatch(
+        audio=jnp.asarray(rng.standard_normal((b, n)) * 0.1, jnp.float32),
+        audio_lens=jnp.asarray([n, n - 800], jnp.int32),
+        labels=jnp.asarray(rng.integers(0, CFG.blank_id, (b, u)), jnp.int32),
+        label_lens=jnp.asarray([u, 2], jnp.int32))
+    optimizer = make_optimizer(lr=1e-3)
+    p0, o0 = init_training(model, jax.random.PRNGKey(1), optimizer)
+    _, _, loss_single = make_train_step(
+        model, optimizer, loss=aed_loss_fn)(p0, o0, batch)
+    mesh = make_mesh({"data": 2, "model": 4})
+    p, o = init_training(model, jax.random.PRNGKey(1), optimizer, mesh)
+    step = make_train_step(model, optimizer, mesh, loss=aed_loss_fn)(p, o)
+    _, _, loss_sharded = step(p, o, batch)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=2e-4)
+
+
 def test_encoder_params_interchangeable_with_transducer(model, params):
     """The AED encoder pytree slots into a Transducer (shared-contract
     claim: one encoder, three heads)."""

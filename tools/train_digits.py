@@ -26,7 +26,7 @@ import time
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=800)
-    parser.add_argument("--family", choices=["transducer", "ctc"],
+    parser.add_argument("--family", choices=["transducer", "ctc", "aed"],
                         default="transducer")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--lr", type=float, default=2e-3)
@@ -75,6 +75,11 @@ def main() -> None:
         from amira_rust_asr_server_tpu.parallel import ctc_loss_fn
         model = CTCModel.from_preset("tiny")
         step_loss = ctc_loss_fn
+    elif args.family == "aed":
+        from amira_rust_asr_server_tpu.models import AEDModel
+        from amira_rust_asr_server_tpu.parallel import aed_loss_fn
+        model = AEDModel.from_preset("tiny")
+        step_loss = aed_loss_fn
     else:
         model = Transducer.from_preset("tiny")
         from amira_rust_asr_server_tpu.parallel import loss_fn as step_loss
@@ -115,6 +120,9 @@ def main() -> None:
                                             n_mels=model.config.n_mels)
         if args.family == "ctc":
             return model.decode_greedy(params, feats, feat_lens)
+        if args.family == "aed":
+            return model.decode_greedy(params, feats, feat_lens,
+                                       max_len=args.label_bucket + 4)
         enc, enc_lens = model.encode(params, feats, feat_lens)
         res = greedy_decode_transducer(model, params, enc, enc_lens)
         return res.tokens, res.counts
