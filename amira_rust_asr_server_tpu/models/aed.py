@@ -243,6 +243,91 @@ class AEDModel:
         counts = jnp.where(is_tok.all(axis=1), max_len, first_eos)
         return toks, counts.astype(jnp.int32)
 
+    def decode_greedy_cached(self, params: Params, features: jax.Array,
+                             feat_lens: jax.Array, *, max_len: int = 64
+                             ) -> Tuple[jax.Array, jax.Array]:
+        """KV-cached greedy decode — token-identical to
+        :meth:`decode_greedy`, O(U·D²) instead of O(U²·D²).
+
+        Per layer: self-attention K/V live in static [B, U+1, D]
+        buffers written once per step (pre-LN makes position u's K/V
+        depend only on tokens ≤ u, so the cache is exact, not an
+        approximation); cross-attention K/V are projected from the
+        encoder ONCE before the loop. Static shapes + ``fori_loop``
+        keep it one XLA program (tests lock equality with the
+        uncached decoder).
+        """
+        cfg = self.config
+        enc, enc_lens = self.encode(params, features, feat_lens)
+        p = params["decoder"]
+        b, t = enc.shape[0], enc.shape[1]
+        d, h = self.d, self.dec_heads
+        dh = d // h
+        u_max = max_len + 1
+        pe = _sinusoid(u_max, d, p["embed"].dtype)
+
+        # cross-attention K/V: one projection per layer, reused every step
+        cross_kv = [
+            ((enc @ lp["cross"]["wk"]).reshape(b, t, h, dh),
+             (enc @ lp["cross"]["wv"]).reshape(b, t, h, dh))
+            for lp in p["layers"]]
+        enc_mask = jnp.where(
+            jnp.arange(t)[None, :] < enc_lens[:, None], 0.0, NEG)  # [B, T]
+
+        k0 = jnp.zeros((len(p["layers"]), b, u_max, h, dh),
+                       p["embed"].dtype)
+        v0 = jnp.zeros_like(k0)
+        buf0 = jnp.full((b, u_max), cfg.blank_id, jnp.int32)
+        done0 = jnp.zeros((b,), bool)
+
+        def step(u, carry):
+            buf, done, kc, vc = carry
+            tok = jax.lax.dynamic_index_in_dim(buf, u, 1, keepdims=False)
+            x = p["embed"][tok] + jax.lax.dynamic_index_in_dim(
+                pe, u, 0, keepdims=False)                       # [B, D]
+            pos_mask = jnp.where(jnp.arange(u_max) <= u, 0.0, NEG)
+            for li, lp in enumerate(p["layers"]):
+                hh = _ln(x, lp["ln1"])
+                q = (hh @ lp["self"]["wq"]).reshape(b, h, dh)
+                # write this position's K/V into layer li's cache
+                k_new = (hh @ lp["self"]["wk"]).reshape(b, h, dh)
+                v_new = (hh @ lp["self"]["wv"]).reshape(b, h, dh)
+                kc = kc.at[li, :, u].set(k_new)
+                vc = vc.at[li, :, u].set(v_new)
+                logits = jnp.einsum("bhd,bthd->bht", q, kc[li]) \
+                    / jnp.sqrt(jnp.asarray(dh, q.dtype))
+                att = jax.nn.softmax(logits + pos_mask[None, None, :], -1)
+                sa = jnp.einsum("bht,bthd->bhd", att, vc[li]
+                                ).reshape(b, d) @ lp["self"]["wo"]
+                x = x + sa
+                hh = _ln(x, lp["ln2"])
+                q = (hh @ lp["cross"]["wq"]).reshape(b, h, dh)
+                ck, cv = cross_kv[li]
+                cl = jnp.einsum("bhd,bthd->bht", q, ck) / jnp.sqrt(
+                    jnp.asarray(dh, q.dtype))
+                catt = jax.nn.softmax(cl + enc_mask[:, None, :], -1)
+                ca = jnp.einsum("bht,bthd->bhd", catt, cv
+                                ).reshape(b, d) @ lp["cross"]["wo"]
+                x = x + ca
+                hh = _ln(x, lp["ln3"])
+                hh = jax.nn.gelu(hh @ lp["ff"]["w1"] + lp["ff"]["b1"])
+                x = x + (hh @ lp["ff"]["w2"] + lp["ff"]["b2"])
+            x = _ln(x, p["ln_out"])
+            step_logits = x @ p["out"]["w"] + p["out"]["b"]
+            nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, cfg.blank_id, nxt)
+            done = done | (nxt == cfg.blank_id)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, nxt, u + 1, 1)
+            return buf, done, kc, vc
+
+        buf, _, _, _ = jax.lax.fori_loop(0, max_len, step,
+                                         (buf0, done0, k0, v0))
+        toks = buf[:, 1:]
+        is_tok = toks != cfg.blank_id
+        first_eos = jnp.argmin(is_tok, axis=1)
+        counts = jnp.where(is_tok.all(axis=1), max_len, first_eos)
+        return toks, counts.astype(jnp.int32)
+
     # -- checkpoint io --------------------------------------------------------
     def save_checkpoint(self, path: str, params: Params) -> None:
         import orbax.checkpoint as ocp

@@ -130,6 +130,50 @@ def test_memorize_and_greedy_decode(model):
     assert toks[1, :3].tolist() == [5, 6, 7]
 
 
+def test_kv_cached_decode_matches_uncached(model, params):
+    """decode_greedy_cached must be token-identical to decode_greedy
+    (the cache is exact under pre-LN causality, not an approximation) —
+    on random params AND on a trained-like peaked model."""
+    rng = np.random.default_rng(6)
+    feats, lens = _feats(rng, b=2, t=32)
+    t1, c1 = jax.jit(
+        lambda p, f, l: model.decode_greedy(p, f, l, max_len=12))(
+            params, feats, lens)
+    t2, c2 = jax.jit(
+        lambda p, f, l: model.decode_greedy_cached(p, f, l, max_len=12))(
+            params, feats, lens)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_kv_cached_decode_matches_on_trained(model):
+    """Same equality after memorization training (confident logits —
+    the regime a real checkpoint decodes in)."""
+    rng = np.random.default_rng(4)
+    feats, lens = _feats(rng, b=2, t=32)
+    labels = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 0]], jnp.int32)
+    label_lens = jnp.asarray([4, 3], jnp.int32)
+    params = model.init(jax.random.PRNGKey(1))
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(model.loss)(
+            params, feats, lens, labels, label_lens)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(200):
+        params, opt_state, loss = step(params, opt_state)
+        if float(loss) < 0.02:
+            break
+    t1, c1 = model.decode_greedy(params, feats, lens, max_len=8)
+    t2, c2 = model.decode_greedy_cached(params, feats, lens, max_len=8)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_checkpoint_roundtrip(model, params, tmp_path):
     path = str(tmp_path / "aed-ckpt")
     model.save_checkpoint(path, params)

@@ -95,7 +95,8 @@ def build_aed(args):
     def run(params, audio, lens):
         feats, feat_lens = log_mel_features(
             audio, lens, n_mels=model.config.n_mels)
-        return model.decode_greedy(params, feats, feat_lens)
+        # KV-cached decode: token-identical to decode_greedy, O(U) per step
+        return model.decode_greedy_cached(params, feats, feat_lens)
 
     class _AedRunner:
         def process_batch_samples(self, samples):
