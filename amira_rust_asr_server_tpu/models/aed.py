@@ -243,6 +243,99 @@ class AEDModel:
         counts = jnp.where(is_tok.all(axis=1), max_len, first_eos)
         return toks, counts.astype(jnp.int32)
 
+    def sequence_scores(self, params: Params, features: jax.Array,
+                        feat_lens: jax.Array, tokens: jax.Array,
+                        counts: jax.Array) -> jax.Array:
+        """Teacher-forced total log-prob of given sequences, INCLUDING
+        the EOS emission at position ``counts`` — the quantity beam
+        search maximizes (test oracle: beam best >= greedy's score)."""
+        cfg = self.config
+        enc, enc_lens = self.encode(params, features, feat_lens)
+        b, u_lab = tokens.shape
+        bos = jnp.full((b, 1), cfg.blank_id, jnp.int32)
+        dec_in = jnp.concatenate([bos, tokens.astype(jnp.int32)], axis=1)
+        pos = jnp.arange(u_lab + 1)[None, :]
+        targets = jnp.where(pos < counts[:, None],
+                            jnp.pad(tokens, ((0, 0), (0, 1))),
+                            cfg.blank_id).astype(jnp.int32)
+        valid = (pos <= counts[:, None]).astype(jnp.float32)
+        logp = jax.nn.log_softmax(
+            self.decoder_logits(params, dec_in, enc, enc_lens), axis=-1)
+        lp = jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+        return (lp * valid).sum(axis=1)
+
+    def decode_beam(self, params: Params, features: jax.Array,
+                    feat_lens: jax.Array, *, width: int = 4,
+                    max_len: int = 64, length_penalty: float = 0.0
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Batched beam search with optional length normalization.
+
+        Returns (tokens [B, max_len], counts [B], scores [B]) for the
+        best hypothesis per lane (``scores`` are UN-normalized total
+        log-probs incl. EOS; ``length_penalty`` only affects ranking,
+        the GNMT-style score/len^alpha convention). One jittable
+        program: a ``fori_loop`` over a static [B, K, max_len+1]
+        buffer; finished hypotheses persist with frozen scores by
+        forcing their next-token distribution to EOS-at-zero-cost.
+        Like :meth:`decode_greedy`, re-runs the masked full forward per
+        step (AED is not the hot serving family; the KV-cached variant
+        of this is the greedy path's follow-up)."""
+        cfg = self.config
+        eos = cfg.blank_id
+        enc, enc_lens = self.encode(params, features, feat_lens)
+        b, t = enc.shape[0], enc.shape[1]
+        k = width
+        v = cfg.vocab_size
+        u_max = max_len + 1
+        enc_rep = jnp.repeat(enc, k, axis=0)          # [B*K, T, D]
+        lens_rep = jnp.repeat(enc_lens, k, axis=0)
+
+        buf0 = jnp.full((b, k, u_max), eos, jnp.int32)   # BOS everywhere
+        # hyp 0 is the live empty hypothesis; the rest are -inf slots
+        scores0 = jnp.full((b, k), NEG).at[:, 0].set(0.0)
+        done0 = jnp.zeros((b, k), bool)
+        eos_row = jnp.full((v,), NEG).at[eos].set(0.0)   # frozen-hyp dist
+
+        def step(u, carry):
+            buf, scores, done = carry
+            logits = self.decoder_logits(
+                params, buf.reshape(b * k, u_max), enc_rep, lens_rep)
+            logp = jax.nn.log_softmax(logits[:, u], -1).reshape(b, k, v)
+            logp = jnp.where(done[..., None], eos_row[None, None, :], logp)
+            cand = (scores[..., None] + logp).reshape(b, k * v)
+            top, idx = jax.lax.top_k(cand, k)
+            parent = idx // v                            # [B, K]
+            token = (idx % v).astype(jnp.int32)
+            buf = jnp.take_along_axis(buf, parent[..., None], axis=1)
+            done = jnp.take_along_axis(done, parent, axis=1)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(done, eos, token), u + 1, 2)
+            done = done | (token == eos)
+            return buf, top, done
+
+        buf, scores, done = jax.lax.fori_loop(0, max_len, step,
+                                              (buf0, scores0, done0))
+        # hypotheses force-terminated at max_len still owe their EOS
+        # emission: charge it so every score is a complete sequence
+        # log-prob (directly comparable across finished/unfinished, and
+        # equal to sequence_scores() on the returned output)
+        tail = jax.nn.log_softmax(
+            self.decoder_logits(params, buf.reshape(b * k, u_max),
+                                enc_rep, lens_rep)[:, max_len],
+            -1)[:, eos].reshape(b, k)
+        scores = jnp.where(done, scores, scores + tail)
+        toks = buf[:, :, 1:]                             # [B, K, max_len]
+        is_tok = toks != eos
+        first_eos = jnp.argmin(is_tok, axis=2)
+        counts = jnp.where(is_tok.all(axis=2), max_len, first_eos)
+        ranked = scores / jnp.maximum(counts, 1) ** length_penalty \
+            if length_penalty > 0 else scores
+        best = jnp.argmax(ranked, axis=1)
+        pick = lambda x: jnp.take_along_axis(  # noqa: E731
+            x, best[:, None, *([None] * (x.ndim - 2))], axis=1)[:, 0]
+        return (pick(toks), pick(counts).astype(jnp.int32),
+                pick(scores))
+
     def decode_greedy_cached(self, params: Params, features: jax.Array,
                              feat_lens: jax.Array, *, max_len: int = 64
                              ) -> Tuple[jax.Array, jax.Array]:

@@ -174,6 +174,64 @@ def test_kv_cached_decode_matches_on_trained(model):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
 
+def test_beam_width1_matches_greedy(model, params):
+    rng = np.random.default_rng(8)
+    feats, lens = _feats(rng, b=2, t=32)
+    tg, cg = model.decode_greedy(params, feats, lens, max_len=10)
+    tb, cb, _ = jax.jit(
+        lambda p, f, l: model.decode_beam(p, f, l, width=1, max_len=10))(
+            params, feats, lens)
+    np.testing.assert_array_equal(np.asarray(cg), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(tb))
+
+
+def test_beam_score_dominates_greedy(model, params):
+    """Beam explores a superset of greedy's path, so the best beam
+    hypothesis' teacher-forced log-prob (incl. EOS) must be >= the
+    greedy sequence's — the search-quality oracle, checked on random
+    params where greedy is genuinely suboptimal."""
+    rng = np.random.default_rng(9)
+    feats, lens = _feats(rng, b=2, t=32)
+    tg, cg = model.decode_greedy(params, feats, lens, max_len=10)
+    tb, cb, sb = model.decode_beam(params, feats, lens, width=4,
+                                   max_len=10)
+    s_greedy = model.sequence_scores(params, feats, lens, tg, cg)
+    s_beam = model.sequence_scores(params, feats, lens, tb, cb)
+    # reported beam score must BE the teacher-forced score of its output
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(s_beam),
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(s_beam) >= np.asarray(s_greedy) - 1e-4)
+
+
+def test_beam_on_trained_returns_memorized(model):
+    rng = np.random.default_rng(4)
+    feats, lens = _feats(rng, b=2, t=32)
+    labels = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 0]], jnp.int32)
+    label_lens = jnp.asarray([4, 3], jnp.int32)
+    params = model.init(jax.random.PRNGKey(1))
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(model.loss)(
+            params, feats, lens, labels, label_lens)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(300):
+        params, opt_state, loss = step(params, opt_state)
+        if float(loss) < 0.02:
+            break
+    toks, counts, scores = model.decode_beam(params, feats, lens,
+                                             width=4, max_len=8)
+    toks, counts = np.asarray(toks), np.asarray(counts)
+    assert counts.tolist() == [4, 3]
+    assert toks[0, :4].tolist() == [1, 2, 3, 4]
+    assert toks[1, :3].tolist() == [5, 6, 7]
+    assert np.all(np.asarray(scores) > -1.0)  # confident after training
+
+
 def test_checkpoint_roundtrip(model, params, tmp_path):
     path = str(tmp_path / "aed-ckpt")
     model.save_checkpoint(path, params)

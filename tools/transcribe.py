@@ -95,6 +95,11 @@ def build_aed(args):
     def run(params, audio, lens):
         feats, feat_lens = log_mel_features(
             audio, lens, n_mels=model.config.n_mels)
+        if args.decoding == "beam":
+            toks, counts, _ = model.decode_beam(
+                params, feats, feat_lens, width=args.beam_width,
+                length_penalty=0.6)
+            return toks, counts
         # KV-cached decode: token-identical to decode_greedy, O(U) per step
         return model.decode_greedy_cached(params, feats, feat_lens)
 
