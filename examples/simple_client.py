@@ -46,6 +46,11 @@ def run_batch(args, pcm: bytes) -> None:
     url = f"http://{args.host}:{args.port}/v2/decode/batch/{args.model}"
     body = {"audio_buffer": base64.b64encode(pcm).decode(),
             "opaque": {"client": "simple_client.py"}}
+    if args.lattice:
+        # beam-mode servers only: adds a prefix-merged rescoring DAG of
+        # the n-best hypotheses to metadata (docs/Operations.md)
+        body["lattice"] = True
+        body["n_best"] = args.n_best
     req = urllib.request.Request(
         url, data=json.dumps(body).encode(),
         headers={"content-type": "application/json"})
@@ -57,6 +62,17 @@ def run_batch(args, pcm: bytes) -> None:
           f"frames={md.get('features_length')} "
           f"encoded={md.get('encoded_length')} "
           f"tokens={len(md.get('tokens', []))}")
+    if "n_best" in md:
+        for i, alt in enumerate(md["n_best"]):
+            print(f"  n_best[{i}]: {alt['score']:9.3f}  {alt['text']!r}")
+    if "lattice" in md:
+        lat = md["lattice"]
+        print(f"lattice: {lat['n_nodes']} nodes, {len(lat['arcs'])} arcs, "
+              f"{len(lat['finals'])} finals")
+        for (src, dst, tok, frame), t_s in list(
+                zip(lat["arcs"], lat["arc_times_s"]))[:8]:
+            piece = lat.get("pieces", {}).get(str(tok), tok)
+            print(f"  arc {src:3d} -> {dst:3d}  {piece!r:14} @ {t_s:.2f}s")
 
 
 async def run_stream(args, pcm: bytes) -> None:
@@ -95,6 +111,9 @@ def main() -> None:
     parser.add_argument("--host", default="localhost")
     parser.add_argument("--port", type=int, default=8057)
     parser.add_argument("--model", default="default")
+    parser.add_argument("--lattice", action="store_true",
+                        help="request a rescoring lattice (beam servers)")
+    parser.add_argument("--n-best", type=int, default=4)
     args = parser.parse_args()
     if args.audio is None and args.synth is None:
         args.synth = 2.0
