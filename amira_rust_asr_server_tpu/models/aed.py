@@ -266,7 +266,8 @@ class AEDModel:
 
     def decode_beam(self, params: Params, features: jax.Array,
                     feat_lens: jax.Array, *, width: int = 4,
-                    max_len: int = 64, length_penalty: float = 0.0
+                    max_len: int = 64, length_penalty: float = 0.0,
+                    return_all: bool = False
                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Batched beam search with optional length normalization.
 
@@ -330,6 +331,13 @@ class AEDModel:
         counts = jnp.where(is_tok.all(axis=2), max_len, first_eos)
         ranked = scores / jnp.maximum(counts, 1) ** length_penalty \
             if length_penalty > 0 else scores
+        if return_all:
+            # all K hypotheses, best-first (n-best surface)
+            order = jnp.argsort(-ranked, axis=1)
+            gather = lambda x: jnp.take_along_axis(  # noqa: E731
+                x, order[:, :, *([None] * (x.ndim - 2))], axis=1)
+            return (gather(toks), gather(counts).astype(jnp.int32),
+                    gather(scores))
         best = jnp.argmax(ranked, axis=1)
         pick = lambda x: jnp.take_along_axis(  # noqa: E731
             x, best[:, None, *([None] * (x.ndim - 2))], axis=1)[:, 0]

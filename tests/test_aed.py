@@ -203,6 +203,22 @@ def test_beam_score_dominates_greedy(model, params):
     assert np.all(np.asarray(s_beam) >= np.asarray(s_greedy) - 1e-4)
 
 
+def test_beam_return_all_is_ranked_superset(model, params):
+    rng = np.random.default_rng(10)
+    feats, lens = _feats(rng, b=2, t=32)
+    tb, cb, sb = model.decode_beam(params, feats, lens, width=4,
+                                   max_len=8)
+    ta, ca, sa = model.decode_beam(params, feats, lens, width=4,
+                                   max_len=8, return_all=True)
+    assert ta.shape == (2, 4, 8) and sa.shape == (2, 4)
+    # rank 0 == the best-only return; scores sorted descending
+    np.testing.assert_array_equal(np.asarray(ta[:, 0]), np.asarray(tb))
+    np.testing.assert_array_equal(np.asarray(ca[:, 0]), np.asarray(cb))
+    np.testing.assert_allclose(np.asarray(sa[:, 0]), np.asarray(sb))
+    s = np.asarray(sa)
+    assert np.all(s[:, :-1] >= s[:, 1:] - 1e-6)
+
+
 def test_beam_on_trained_returns_memorized(model):
     rng = np.random.default_rng(4)
     feats, lens = _feats(rng, b=2, t=32)

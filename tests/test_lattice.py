@@ -181,3 +181,30 @@ def test_server_lattice_requires_beam_mode():
     status, js = _post_batch(state, _audio_body(lattice=True))
     assert status == 400
     assert "beam" in js["message"]
+
+
+def test_server_lattice_fuzzed_n_best():
+    """Garbage / extreme n_best values: strings -> 400, huge/negative
+    ints clamp to [1, beam_width] and still serve. All requests ride one
+    event loop (AppState asyncio primitives bind to the first loop)."""
+    pipe, vocab, cfg = _pipeline()
+    state = AppState(pipe, vocab, cfg)
+
+    async def go():
+        app = create_app(state)
+        out = []
+        async with TestClient(TestServer(app)) as client:
+            for n_best in ("abc", 10**9, -5, 0):
+                resp = await client.post(
+                    "/v2/decode/batch/m",
+                    json=_audio_body(lattice=True, n_best=n_best))
+                out.append((resp.status, await resp.json()))
+        return out
+
+    results = asyncio.run(go())
+    status, js = results[0]
+    assert status == 400 and "n_best" in js["message"]
+    for status, js in results[1:]:
+        assert status == 200, js
+        assert 1 <= len(js["metadata"]["lattice"]["finals"]) <= \
+            cfg.beam_width
