@@ -66,6 +66,11 @@ class Config:
     # -- TPU-native model/runtime config ------------------------------------
     checkpoint_path: Optional[str] = None  # orbax checkpoint dir (None = random init)
     model_preset: str = "large"  # see models/presets.py
+    # model repository root for the live-reload surface (the in-process
+    # analogue of Triton's DEFAULT_MODEL_REPO, ref: constants.rs:291-292):
+    # <repo>/<name>.json pointers name orbax trees; served via
+    # /v2/repository/* (server/app.py, runtime/reload.py)
+    model_repo_path: str = "model-repo"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # "int8": encoder dense matmuls run W8A8 dynamic quant (bandwidth win:

@@ -9,6 +9,12 @@ Route and behavior parity with the reference's axum router
     GET  /metrics                    JSON metrics (or prometheus)
     POST /admin/reset-batch-count    zombie-request reset
 
+plus the in-process model-repository surface (the reference deploys
+behind Triton's repository API; here it's native):
+
+    GET|POST /v2/repository/index                repository listing
+    POST     /v2/repository/models/{name}/load   hot checkpoint reload
+
 Request validation (handlers.rs:66-118): non-empty even-length audio,
 100MB byte cap, 30 s duration cap, 10KB opaque cap. Admission control via
 non-blocking semaphores (503 on exhaustion). CORS is permissive.
@@ -362,6 +368,48 @@ async def get_config(request: web.Request) -> web.Response:
     return web.json_response(cfg)
 
 
+async def repository_index_handler(request: web.Request) -> web.Response:
+    """Model-repository listing — the in-process analogue of Triton's
+    ``POST /v2/repository/index`` (the reference's deploy target manages
+    models through Triton's repository API; ref: constants.rs:291-292
+    DEFAULT_MODEL_REPO). Served on GET too for curl ergonomics."""
+    state: AppState = request.app["state"]
+    from ..runtime.reload import repository_index
+    rows = repository_index(state.config.model_repo_path,
+                            state.loaded_model)
+    return web.json_response({
+        "models": rows,
+        "loaded": state.loaded_model,
+        "model_repository": state.config.model_repo_path,
+    })
+
+
+async def repository_load(request: web.Request) -> web.Response:
+    """Hot checkpoint reload — Triton's ``/v2/repository/models/{name}/
+    load`` semantics, in-process: swap serving weights without a restart
+    or a recompile (params are jit arguments). 404 unknown model, 409
+    while native streams are live, 422 on an architecture mismatch; the
+    old weights keep serving on any failure (runtime/reload.py)."""
+    state: AppState = request.app["state"]
+    if state.shutdown.is_shutting_down:
+        return web.json_response(
+            {"error": "shutting_down", "message": "server is draining"},
+            status=503)
+    name = request.match_info["name"]
+    from ..runtime.reload import hot_swap
+    loop = asyncio.get_event_loop()
+    try:
+        # session executor: orbax restore + device transforms take
+        # seconds — never on the event loop
+        info = await loop.run_in_executor(
+            state.session_executor, hot_swap, state, name)
+    except Exception as e:
+        if not isinstance(e, AppError):
+            log.exception("reload failed for %r", name)
+        return error_response(e)
+    return web.json_response({"status": "success", **info})
+
+
 async def reset_batch_count(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     state.metrics.reset_batch_count()
@@ -405,6 +453,11 @@ def create_app(state: AppState) -> web.Application:
     app.router.add_get("/metrics", metrics_handler)
     app.router.add_post("/admin/reset-batch-count", reset_batch_count)
     app.router.add_get("/admin/config", get_config)
+    # Triton repository-API parity (model management without a restart)
+    app.router.add_get("/v2/repository/index", repository_index_handler)
+    app.router.add_post("/v2/repository/index", repository_index_handler)
+    app.router.add_post("/v2/repository/models/{name}/load",
+                        repository_load)
     return app
 
 

@@ -29,6 +29,8 @@ class ServiceMetrics:
         self.total_batches = 0
         self.rejections = 0
         self.errors = 0
+        self.model_reloads = 0
+        self.loaded_model_name: Optional[str] = None
 
     def increment_stream(self) -> None:
         with self._lock:
@@ -61,6 +63,12 @@ class ServiceMetrics:
         with self._lock:
             self.active_batches = 0
 
+    def record_model_reload(self, name: str) -> None:
+        """Live checkpoint swap (runtime/reload.py hot_swap)."""
+        with self._lock:
+            self.model_reloads += 1
+            self.loaded_model_name = name
+
     def to_json(self) -> Dict[str, Any]:
         with self._lock:
             return {
@@ -72,6 +80,8 @@ class ServiceMetrics:
                 "total_batches": self.total_batches,
                 "rejections": self.rejections,
                 "errors": self.errors,
+                "model_reloads": self.model_reloads,
+                "loaded_model": self.loaded_model_name,
                 "uptime_seconds": round(time.time() - self.start_time, 1),
             }
 

@@ -67,6 +67,14 @@ class AppState:
         self.breaker = CircuitBreaker(
             excluded_exceptions=(CapacityExceededError,))
         self.shutdown = GracefulShutdown()
+        # live-reload surface (runtime/reload.py): which repository model
+        # is serving, and a guard against concurrent swaps
+        import threading as _threading
+        self.loaded_model: Optional[dict] = None
+        if self.config.checkpoint_path:
+            self.loaded_model = {"name": None,
+                                 "checkpoint": self.config.checkpoint_path}
+        self._reload_lock = _threading.Lock()
         # optional host-core partitioning: dedicate a core to the device
         # feeder, keep sessions off it (ref: affinity_management.rs — the
         # reference's pools take the same thread-type split)
@@ -147,8 +155,10 @@ class AppState:
             self._lane_ticker_stop = threading.Event()
 
             def _tick_loop():
-                eng = self.lane_engine
                 while not self._lane_ticker_stop.is_set():
+                    # re-read each pass: a hot reload (runtime/reload.py)
+                    # installs a fresh engine on the new weights
+                    eng = self.lane_engine
                     did = False
                     # pending() reads host lists racily; tick() recomputes
                     # readiness under the lock, so a stale view only costs
