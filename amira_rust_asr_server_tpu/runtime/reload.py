@@ -293,6 +293,8 @@ def hot_swap(state, name: str) -> dict:
                 "swap_ms": round(took_ms, 1), "ts": time.time()}
         state.loaded_model = info
         state.metrics.record_model_reload(name)
+        if getattr(state, "prometheus", None) is not None:
+            state.prometheus.model_reloads.inc()
         log.info("reload: now serving %s (%s) — %.0f ms", name, ckpt,
                  took_ms)
         return info

@@ -123,6 +123,10 @@ class PrometheusMetrics:
         self.compile_count = Counter(
             "asr_xla_compilations_total", "XLA program compilations",
             registry=self.registry)
+        self.model_reloads = Counter(
+            "asr_model_reloads_total",
+            "Hot checkpoint reloads (runtime/reload.py)",
+            registry=self.registry)
         # -- reference-parity series (ref: reliability/metrics.rs:44-160) --
         self.requests_failed = Counter(
             "asr_requests_failed_total", "Failed ASR requests",
