@@ -243,7 +243,17 @@ def _rebuild_lane_engine(state, params):
     return eng
 
 
-def hot_swap(state, name: str) -> dict:
+def _smoke_decode(pipeline) -> None:
+    """One tiny decode through the serving path on whatever weights are
+    installed — raises if the swapped tree can't actually serve."""
+    import numpy as np
+    n = int(0.25 * 16000)
+    tone = (0.1 * np.sin(2 * np.pi * 440.0 *
+                         np.arange(n) / 16000.0)).astype(np.float32)
+    pipeline.process_batch_samples(tone)
+
+
+def hot_swap(state, name: str, validate: bool = False) -> dict:
     """Load ``name`` from the repository and swap it into serving.
 
     Orchestration (called from a session-executor thread, never the
@@ -283,14 +293,32 @@ def hot_swap(state, name: str) -> dict:
             if eng.live_lanes > 0:
                 raise ReloadConflictError(
                     "stream attached during reload; drain and retry")
+        old_params = state.pipeline.params
+        old_quant = state.pipeline._pred_quant
         state.inference_executor.submit(
             _swap_pipeline, state.pipeline, params, pred_quant).result()
+        if validate:
+            # canary: one smoke decode on the new weights; on ANY failure
+            # roll back to the retained old arrays and surface the error.
+            # Triton offers nothing equivalent — a bad model version there
+            # serves errors until an operator intervenes.
+            try:
+                state.inference_executor.submit(
+                    _smoke_decode, state.pipeline).result()
+            except Exception as e:
+                state.inference_executor.submit(
+                    _swap_pipeline, state.pipeline, old_params,
+                    old_quant).result()
+                raise CheckpointMismatchError(
+                    f"validation decode failed on {name!r}; rolled back "
+                    f"to previous weights: {e}") from e
         if new_eng is not None:
             with state.lane_lock:
                 state.lane_engine = new_eng
         took_ms = (time.perf_counter() - t0) * 1e3
         info = {"name": name, "checkpoint": ckpt,
-                "swap_ms": round(took_ms, 1), "ts": time.time()}
+                "swap_ms": round(took_ms, 1), "ts": time.time(),
+                "validated": bool(validate)}
         state.loaded_model = info
         state.metrics.record_model_reload(name)
         if getattr(state, "prometheus", None) is not None:

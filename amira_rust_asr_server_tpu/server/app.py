@@ -396,13 +396,16 @@ async def repository_load(request: web.Request) -> web.Response:
             {"error": "shutting_down", "message": "server is draining"},
             status=503)
     name = request.match_info["name"]
+    # ?validate=1: canary smoke decode on the new weights with automatic
+    # rollback on failure (parity-plus: Triton has no equivalent)
+    validate = request.query.get("validate", "") in ("1", "true", "yes")
     from ..runtime.reload import hot_swap
     loop = asyncio.get_event_loop()
     try:
         # session executor: orbax restore + device transforms take
         # seconds — never on the event loop
         info = await loop.run_in_executor(
-            state.session_executor, hot_swap, state, name)
+            state.session_executor, hot_swap, state, name, validate)
     except Exception as e:
         if not isinstance(e, AppError):
             log.exception("reload failed for %r", name)

@@ -263,3 +263,30 @@ def test_reload_refused_while_lanes_live(tmp_path):
         assert abs(got - want) / max(want, 1e-9) < 1e-3
     finally:
         state.close()
+
+
+def test_hot_swap_validate_and_rollback(tmp_path):
+    """?validate runs a canary decode; a failing canary rolls back."""
+    state, model, repo = _state(tmp_path)
+    try:
+        info = hot_swap(state, "ckpt1", validate=True)
+        assert info["validated"] is True
+        fp1 = _fingerprint(state.pipeline.params)
+
+        # sabotage the canary: the next decode on the "new" weights fails
+        orig = state.pipeline.process_batch_samples
+        state.pipeline.process_batch_samples = \
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        from amira_rust_asr_server_tpu.runtime.reload import \
+            CheckpointMismatchError
+        with pytest.raises(CheckpointMismatchError) as ei:
+            hot_swap(state, "ckpt0", validate=True)
+        assert "rolled back" in str(ei.value)
+        state.pipeline.process_batch_samples = orig
+        # weights are back to ckpt1's, and serving works
+        assert _fingerprint(state.pipeline.params) == fp1
+        assert state.loaded_model["name"] == "ckpt1"
+        pcm = np.zeros(2000, np.float32)
+        assert state.pipeline.process_batch_samples(pcm) is not None
+    finally:
+        state.close()
