@@ -134,6 +134,14 @@ class Config:
     trailing_context_seconds: float = C.TRAILING_CONTEXT_SECONDS
     buffer_capacity_seconds: float = C.BUFFER_CAPACITY_SECONDS
 
+    # -- model family --------------------------------------------------------
+    # Which model family the server builds and serves. The reference serves
+    # exactly one (RNN-T transducer, ref: src/asr/pipeline.rs:21-67); "ctc"
+    # and "aed" put the other two trained families (models/ctc.py,
+    # models/aed.py) on the same HTTP surface via runtime/family_pipeline.py.
+    # WebSocket streaming carries decoder state and stays transducer-only.
+    model_family: str = "transducer"  # "transducer" | "ctc" | "aed"
+
     # -- decoding -----------------------------------------------------------
     decoding_mode: str = "greedy"  # "greedy" | "beam"
     beam_width: int = C.DEFAULT_BEAM_WIDTH
@@ -227,6 +235,15 @@ class Config:
         if self.decoding_mode not in ("greedy", "beam"):
             raise ConfigValidationError(
                 f"decoding_mode must be greedy|beam: {self.decoding_mode}")
+        if self.model_family not in ("transducer", "ctc", "aed"):
+            raise ConfigValidationError(
+                f"model_family must be transducer|ctc|aed: "
+                f"{self.model_family}")
+        if self.model_family != "transducer" and \
+                self.streaming_mode == "native":
+            raise ConfigValidationError(
+                "streaming_mode=native requires the transducer family "
+                "(CTC/AED are stateless across chunks)")
         if self.quantization not in ("none", "int8"):
             raise ConfigValidationError(
                 f"quantization must be none|int8: {self.quantization}")

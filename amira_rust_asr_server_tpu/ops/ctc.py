@@ -132,3 +132,42 @@ def ctc_greedy_decode(log_probs: jax.Array, logit_lens: jax.Array,
     out = out.at[jnp.arange(b)[:, None], pos].set(path, mode="drop")
     counts = jnp.sum(keep, axis=1).astype(jnp.int32)
     return out, counts
+
+
+def ctc_greedy_decode_timed(
+        log_probs: jax.Array, logit_lens: jax.Array, blank_id: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Best-path decode with per-token frame indices and confidences.
+
+    Same collapse semantics as :func:`ctc_greedy_decode`, additionally
+    returning each kept token's emitting frame (the FIRST frame of its
+    argmax run — the natural CTC timestamp) and its posterior there.
+    Powers the serving path's ``token_details`` (TokenInfo parity,
+    ref: src/asr/traits.rs TokenInfo timings/confidence).
+
+    Returns (tokens [B, T], counts [B], frame_idx [B, T] int32,
+    confidence [B, T] f32); entries past counts are padding.
+    """
+    b, t_max, _ = log_probs.shape
+    path = jnp.argmax(log_probs, axis=-1)                       # [B, T]
+    conf_t = jnp.exp(jnp.take_along_axis(
+        log_probs, path[..., None], axis=-1))[..., 0]           # [B, T]
+    t_idx = jnp.arange(t_max)[None, :]
+    valid_t = t_idx < logit_lens[:, None]
+    path = jnp.where(valid_t, path, blank_id)
+    prev = jnp.pad(path, ((0, 0), (1, 0)),
+                   constant_values=blank_id)[:, :t_max]
+    keep = (path != blank_id) & (path != prev) & valid_t        # [B, T]
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, t_max)
+    rows = jnp.arange(b)[:, None]
+    out = jnp.full((b, t_max), blank_id, path.dtype)
+    out = out.at[rows, pos].set(path, mode="drop")
+    frames = jnp.zeros((b, t_max), jnp.int32)
+    frames = frames.at[rows, pos].set(
+        jnp.broadcast_to(t_idx, path.shape), mode="drop")
+    confs = jnp.zeros((b, t_max), jnp.float32)
+    confs = confs.at[rows, pos].set(conf_t.astype(jnp.float32),
+                                    mode="drop")
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return out, counts, frames, confs

@@ -146,6 +146,12 @@ async def handle_batch(request: web.Request) -> web.Response:
         if want_lattice and state.config.decoding_mode != "beam":
             raise RequestValidationError(
                 "lattice output requires decoding_mode=beam")
+        if want_lattice and state.config.model_family != "transducer":
+            # lattices are assembled from the transducer beam's device
+            # trace (ops/lattice.py); the CTC/AED beam surfaces expose
+            # n_best instead
+            raise RequestValidationError(
+                "lattice output requires the transducer model family")
         lattice_n_best = body.get("n_best", state.config.beam_width)
         if want_lattice:
             try:
@@ -253,6 +259,16 @@ async def handle_batch(request: web.Request) -> web.Response:
 
 async def handle_stream(request: web.Request) -> web.StreamResponse:
     state: AppState = request.app["state"]
+    if state.config.model_family != "transducer":
+        # the WS contract is carried decoder state across chunks; CTC and
+        # AED are stateless per utterance (runtime/family_pipeline.py), so
+        # streaming them would silently re-decode full context per chunk
+        return web.json_response(
+            {"error": "unsupported_model_family",
+             "message": f"streaming requires the transducer family; "
+                        f"model_family={state.config.model_family} serves "
+                        f"the batch endpoint only"},
+            status=400)
     if state.config.decoding_mode == "beam" and not (
             state.config.streaming_mode == "native"
             and state.pipeline.model.config.causal):
@@ -484,12 +500,6 @@ def build_state(config: Optional[Config] = None,
         jax.config.update("jax_compilation_cache_dir",
                           os.path.abspath(cfg.compilation_cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    model = Transducer.from_preset(preset or cfg.model_preset)
-    rng = jax.random.PRNGKey(0)
-    params = jax.jit(model.init)(rng)
-    if cfg.checkpoint_path:
-        params = model.load_checkpoint(cfg.checkpoint_path, like=params)
-        log.info("loaded checkpoint from %s", cfg.checkpoint_path)
     try:
         vocab = Vocabulary.load(cfg.vocabulary_path)
     except FileNotFoundError:
@@ -501,7 +511,24 @@ def build_state(config: Optional[Config] = None,
         from ..parallel import make_mesh
         mesh = make_mesh(cfg.mesh_shape)
         log.info("serving over mesh %s", dict(mesh.shape))
-    pipeline = AsrPipeline(model, params, vocab, cfg, mesh=mesh)
+    if cfg.model_family != "transducer":
+        # CTC / AED family on the same serving surface (checkpoint load,
+        # sharding, dtype handling ride the shared pipeline init path)
+        from ..runtime.family_pipeline import build_family_pipeline
+        model, params, pipeline = build_family_pipeline(
+            cfg.model_family, preset or cfg.model_preset, vocab, cfg,
+            mesh=mesh)
+        if cfg.checkpoint_path:
+            log.info("loaded %s checkpoint from %s", cfg.model_family,
+                     cfg.checkpoint_path)
+    else:
+        model = Transducer.from_preset(preset or cfg.model_preset)
+        rng = jax.random.PRNGKey(0)
+        params = jax.jit(model.init)(rng)
+        if cfg.checkpoint_path:
+            params = model.load_checkpoint(cfg.checkpoint_path, like=params)
+            log.info("loaded checkpoint from %s", cfg.checkpoint_path)
+        pipeline = AsrPipeline(model, params, vocab, cfg, mesh=mesh)
     # AppState first: it wires pipeline.on_compile to the prometheus
     # compile counter, and warmup is where most compiles happen — wiring
     # after would permanently under-report asr_xla_compilations_total
