@@ -153,10 +153,36 @@ def repository_index(repo_dir: str,
                       else "UNAVAILABLE"),
         }
         for k in ("held_out_exact_match", "held_out_token_error_rate",
-                  "steps"):
+                  "steps", "family"):
             if k in doc:
                 row[k] = doc[k]
         rows.append(row)
+    # direct orbax trees with no curated pointer (e.g. the committed
+    # tiny-digits-* family artifacts) are loadable via resolve_checkpoint's
+    # direct path — list them too, or the index under-reports what
+    # POST /v2/repository/models/{name}/load accepts
+    named = {r["name"] for r in rows}
+    pointed = {os.path.normpath(r["checkpoint"]) for r in rows
+               if r.get("checkpoint")}
+    try:
+        entries = sorted(os.listdir(repo_dir))
+    except OSError:
+        entries = []
+    for fn in entries:
+        path = os.path.join(repo_dir, fn)
+        if (fn in named or not os.path.isdir(path)
+                or os.path.normpath(path) in pointed):
+            continue
+        # an orbax tree carries its own metadata marker files
+        if not (os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+                or os.path.exists(os.path.join(path, "manifest.ocdbt"))):
+            continue
+        rows.append({
+            "name": fn,
+            "preset": None,
+            "checkpoint": path,
+            "state": "READY" if fn == loaded_name else "AVAILABLE",
+        })
     return rows
 
 

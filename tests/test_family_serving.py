@@ -294,6 +294,44 @@ def _digits_pcm(words, noise=0.004, seed=7) -> bytes:
 
 
 @pytest.mark.slow
+def test_family_hot_reload_http():
+    """Random-weights CTC server + POST /v2/repository load of the
+    committed family tree (canary-validated) => exact transcript. Also
+    locks the index listing of bare orbax trees (no curated pointer)."""
+    ckpt = REPO / "model-repo" / "tiny-digits-ctc"
+    if not ckpt.exists():
+        pytest.skip("tiny-digits-ctc checkpoint not present")
+    vocab = Vocabulary.load(VOCAB_PATH)
+    cfg = Config(model_family="ctc", audio_sec_buckets=[2.0],
+                 batch_buckets=[1, 2], vocabulary_path=str(VOCAB_PATH),
+                 model_repo_path=str(REPO / "model-repo"))
+    _, _, pipe = build_family_pipeline("ctc", "tiny", vocab, cfg)
+    state = AppState(pipe, vocab, cfg)
+
+    async def go(client):
+        resp = await client.post("/v2/repository/index")
+        rows = (await resp.json())["models"]
+        row = next(r for r in rows if r["name"] == "tiny-digits-ctc")
+        assert row["state"] == "AVAILABLE"
+        resp = await client.post(
+            "/v2/repository/models/tiny-digits-ctc/load?validate=1")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["status"] == "success" and body["validated"]
+        pcm = _digits_pcm(["two", "five", "nine"])
+        resp = await client.post(
+            "/v2/decode/batch/default",
+            json={"audio_buffer": base64.b64encode(pcm).decode()})
+        body = await resp.json()
+        assert body["transcription"] == "two five nine"
+        resp = await client.post("/v2/repository/index")
+        rows = (await resp.json())["models"]
+        row = next(r for r in rows if r["name"] == "tiny-digits-ctc")
+        assert row["state"] == "READY"
+    run(with_client(state, go))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("family", ["ctc", "aed"])
 def test_family_golden_http_transcript(family):
     ckpt = REPO / "model-repo" / f"tiny-digits-{family}"

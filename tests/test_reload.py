@@ -80,6 +80,28 @@ def test_repository_index_lists_pointers(tmp_path):
         state.close()
 
 
+def test_repository_index_lists_bare_orbax_trees(tmp_path):
+    """A direct orbax tree with no curated pointer (the committed
+    tiny-digits-* family artifacts) is loadable via the direct path, so
+    the index must list it; pointer-referenced trees must not be
+    double-listed."""
+    state, model, repo = _state(tmp_path)
+    try:
+        params = model.init(jax.random.PRNGKey(9))
+        model.save_checkpoint(str(tmp_path / "repo" / "bare-tree"), params)
+        (tmp_path / "repo" / "not-a-model").mkdir()  # no orbax markers
+        rows = repository_index(repo, None)
+        names = [r["name"] for r in rows]
+        assert names == ["ckpt0", "ckpt1", "bare-tree"]
+        bare = rows[-1]
+        assert bare["state"] == "AVAILABLE" and bare["preset"] is None
+        rows = repository_index(repo, {"name": "bare-tree"})
+        assert [r["state"] for r in rows] == \
+            ["AVAILABLE", "AVAILABLE", "READY"]
+    finally:
+        state.close()
+
+
 def test_resolve_checkpoint_errors(tmp_path):
     state, model, repo = _state(tmp_path)
     try:
