@@ -33,6 +33,11 @@ from eval_wer import edit_distance_words, load_wav, normalize_text
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="large")
+    parser.add_argument("--family", default="transducer",
+                        choices=["transducer", "ctc", "aed"],
+                        help="serving model family (runtime/"
+                             "family_pipeline.py); transducer-only "
+                             "configs are dropped automatically")
     parser.add_argument("--checkpoint", default="model-repo/large-synth")
     parser.add_argument("--vocab", default="model-repo/vocab.txt")
     parser.add_argument("--out", default="WER_r03.json")
@@ -57,9 +62,15 @@ def main() -> None:
                              "30 s utterances, config.rs:55-57) through "
                              "bf16_pallas; 0 disables")
     parser.add_argument("--long-batch", type=int, default=8)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu); the env "
+                             "var alone is NOT enough — sitecustomize "
+                             "pre-bakes JAX_PLATFORMS (CLAUDE.md)")
     args = parser.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir",
                       str(_REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -71,7 +82,17 @@ def main() -> None:
     from amira_rust_asr_server_tpu.testing.synthspeech import write_manifest
     from amira_rust_asr_server_tpu.vocab import Vocabulary
 
-    model = Transducer.from_preset(args.preset)
+    if args.family == "ctc":
+        from amira_rust_asr_server_tpu.models import CTCModel as _Model
+        from amira_rust_asr_server_tpu.runtime.family_pipeline import \
+            CTCPipeline as _Pipe
+    elif args.family == "aed":
+        from amira_rust_asr_server_tpu.models import AEDModel as _Model
+        from amira_rust_asr_server_tpu.runtime.family_pipeline import \
+            AEDPipeline as _Pipe
+    else:
+        _Model, _Pipe = Transducer, AsrPipeline
+    model = _Model.from_preset(args.preset)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     params = model.load_checkpoint(os.path.abspath(args.checkpoint),
                                    like=params)
@@ -100,6 +121,15 @@ def main() -> None:
         "beam10_bf16": dict(compute_dtype="bfloat16", decoding_mode="beam",
                             beam_width=args.beam_width),
     }
+    if args.family != "transducer":
+        # int8-resident DECODE weights are a transducer Pallas-kernel
+        # knob; the other configs apply unchanged (the quantized encoder
+        # and the beam search are family-generic)
+        CONFIGS.pop("int8dec_pallas", None)
+        if args.b16_configs:
+            args.b16_configs = ",".join(
+                c for c in args.b16_configs.split(",")
+                if c.strip() != "int8dec_pallas")
     if args.configs:
         keep = {c.strip() for c in args.configs.split(",")}
         CONFIGS = {k: v for k, v in CONFIGS.items() if k in keep}
@@ -109,14 +139,15 @@ def main() -> None:
                             "grammar": "synthspeech"},
                "checkpoint": args.checkpoint,
                "preset": args.preset,
+               "family": args.family,
                "configs": {}}
 
     def run_config(name, overrides, batch, bucket_secs, cfg_entries,
                    cfg_waves):
         cfg = Config(audio_sec_buckets=[bucket_secs],
                      batch_buckets=[batch], warmup_on_start=False,
-                     **overrides)
-        pipe = AsrPipeline(model, params, vocab, cfg)
+                     model_family=args.family, **overrides)
+        pipe = _Pipe(model, params, vocab, cfg)
         total_err = total_words = 0
         tok_err = tok_all = 0
         t0 = time.time()
