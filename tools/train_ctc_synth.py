@@ -1,23 +1,26 @@
-"""Train the CTC family at flagship scale on the synthspeech grammar.
+"""Train the CTC or AED family at flagship scale on synthspeech.
 
-The serving stack gained CTC as a first-class served family
+The serving stack gained CTC/AED as first-class served families
 (runtime/family_pipeline.py); this puts TRAINED flagship-scale weights
-behind it. The encoder pytree is interchangeable between families
+behind them. The encoder pytree is interchangeable between families
 (models/ctc.py docstring; locked by
 tests/test_aed.py::test_encoder_params_interchangeable_with_transducer),
-so the trained transducer flagship's encoder warm-starts the CTC model
-and only the alignment behavior + the linear vocab head have to be
-learned — a few hundred steps instead of a from-scratch run (and it
-sidesteps the deep-stack saddle recorded in CLAUDE.md Training
-findings).
+so the trained transducer flagship's encoder warm-starts the model and
+only the alignment behavior + the family head (CTC: linear vocab head;
+AED: transformer decoder) have to be learned — a few hundred steps
+instead of a from-scratch run (and it sidesteps the deep-stack saddle
+recorded in CLAUDE.md Training findings).
 
     python tools/train_ctc_synth.py --preset large --steps 1500 \
         --mix-long 0.5 --remat --encoder-from model-repo/large-synth-v2 \
         --ckpt-out model-repo/large-synth-ctc
+    python tools/train_ctc_synth.py --family aed --steps 2000 \
+        --mix-long 0.5 --remat --encoder-from model-repo/large-synth-v2 \
+        --ckpt-out model-repo/large-synth-aed
 
 The checkpoint directory is .gitignored (a ~400M-param orbax tree);
-model-repo/large-synth-ctc.json is the committed pointer + recipe +
-quality record (family: ctc).
+model-repo/<name>.json is the committed pointer + recipe + quality
+record (family field).
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ def _token_er(ref, hyp):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--family", default="ctc", choices=["ctc", "aed"])
     parser.add_argument("--preset", default="large")
     parser.add_argument("--steps", type=int, default=1500)
     parser.add_argument("--batch", type=int, default=16)
@@ -95,10 +99,12 @@ def main() -> None:
     import numpy as np
     import optax
 
-    from amira_rust_asr_server_tpu.models import CTCModel, Transducer
+    from amira_rust_asr_server_tpu.models import (AEDModel, CTCModel,
+                                                   Transducer)
     from amira_rust_asr_server_tpu.ops import log_mel_features
     from amira_rust_asr_server_tpu.ops.ctc import ctc_greedy_decode
-    from amira_rust_asr_server_tpu.parallel import (ctc_loss_fn,
+    from amira_rust_asr_server_tpu.parallel import (aed_loss_fn,
+                                                    ctc_loss_fn,
                                                     init_training,
                                                     make_train_step)
     from amira_rust_asr_server_tpu.testing.synthspeech import (
@@ -107,9 +113,12 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", flush=True)
 
-    model = CTCModel.from_preset(args.preset)
+    model_cls = AEDModel if args.family == "aed" else CTCModel
+    loss_fn = aed_loss_fn if args.family == "aed" else ctc_loss_fn
+    model = model_cls.from_preset(args.preset)
     if args.remat:
-        model = CTCModel(dataclasses.replace(model.config, remat=True))
+        model = dataclasses.replace(
+            model, config=dataclasses.replace(model.config, remat=True))
     cfg = model.config
     warmup = min(args.warmup, max(args.steps // 10, 1))
     sched = optax.schedules.warmup_cosine_decay_schedule(
@@ -128,9 +137,9 @@ def main() -> None:
         params["encoder"] = donor["encoder"]
         del donor  # free predictor/joint
         print(f"warm-started encoder from {args.encoder_from}", flush=True)
-    step = make_train_step(model, optimizer, loss=ctc_loss_fn)
+    step = make_train_step(model, optimizer, loss=loss_fn)
     print(f"{model.param_count(params)/1e6:.1f}M params "
-          f"(CTC {args.preset})", flush=True)
+          f"({args.family.upper()} {args.preset})", flush=True)
 
     batches = synthspeech_batches(
         args.batch, audio_bucket=args.audio_bucket,
@@ -165,12 +174,19 @@ def main() -> None:
     # -- held-out eval (training noise level — round-5 postmortem) ---------
     rng = np.random.default_rng(args.seed + 4321)
 
-    @jax.jit
-    def decode(params, audio, lens):
-        feats, fl = log_mel_features(audio, lens, n_mels=cfg.n_mels)
-        enc, el = model.encode(params, feats, fl)
-        return ctc_greedy_decode(model.log_probs(params, enc), el,
-                                 cfg.blank_id)
+    if args.family == "aed":
+        @jax.jit
+        def decode(params, audio, lens):
+            feats, fl = log_mel_features(audio, lens, n_mels=cfg.n_mels)
+            return model.decode_greedy_cached(params, feats, fl,
+                                              max_len=32)
+    else:
+        @jax.jit
+        def decode(params, audio, lens):
+            feats, fl = log_mel_features(audio, lens, n_mels=cfg.n_mels)
+            enc, el = model.encode(params, feats, fl)
+            return ctc_greedy_decode(model.log_probs(params, enc), el,
+                                     cfg.blank_id)
 
     exact = 0
     tok_err = tok_all = 0
@@ -198,12 +214,21 @@ def main() -> None:
         lt_err = lt_all = 0
         long_bucket = 480000
 
-        @jax.jit
-        def decode_long(params, audio, lens):
-            feats, fl = log_mel_features(audio, lens, n_mels=cfg.n_mels)
-            enc, el = model.encode(params, feats, fl)
-            return ctc_greedy_decode(model.log_probs(params, enc), el,
-                                     cfg.blank_id)
+        if args.family == "aed":
+            @jax.jit
+            def decode_long(params, audio, lens):
+                feats, fl = log_mel_features(audio, lens,
+                                             n_mels=cfg.n_mels)
+                return model.decode_greedy_cached(params, feats, fl,
+                                                  max_len=232)
+        else:
+            @jax.jit
+            def decode_long(params, audio, lens):
+                feats, fl = log_mel_features(audio, lens,
+                                             n_mels=cfg.n_mels)
+                enc, el = model.encode(params, feats, fl)
+                return ctc_greedy_decode(model.log_probs(params, enc),
+                                         el, cfg.blank_id)
 
         for _ in range(8):
             parts, ids = [], []
@@ -238,7 +263,7 @@ def main() -> None:
 
     model.save_checkpoint(ckpt, params)
     pointer = {
-        "family": "ctc",
+        "family": args.family,
         "preset": args.preset,
         "checkpoint": os.path.relpath(ckpt, _REPO),
         "steps": args.steps,
